@@ -1,0 +1,98 @@
+"""Golden span-sequence equality vs the pure-Python oracle (comparator
+pattern, SURVEY §5.2): Spark pipelines A and B must reproduce the oracle
+byte-exactly on (kind, text, media_ref, order) for every fixture doc."""
+
+import pytest
+
+from deepseek_ocr_spark import corpus, oracle
+from deepseek_ocr_spark.operators.extraction import extract_pdf
+from deepseek_ocr_spark.operators.spans_pipeline import extract_spans
+
+N_DOCS = 120
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def fixture_docs():
+    docs = [corpus.gen_doc(SEED, i) for i in range(N_DOCS)]
+    return docs
+
+
+def _spans_tuples(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_pipeline_a_matches_oracle(spark, fixture_docs):
+    pages_df = spark.createDataFrame(
+        [
+            (doc_id, page_no, content)
+            for doc_id, _, pages in fixture_docs
+            for page_no, content in pages
+        ],
+        "doc_id string, page_no int, content string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in extract_pdf(pages_df).collect()
+    }
+    assert len(got) == N_DOCS
+    mismatches = 0
+    for doc_id, _, pages in fixture_docs:
+        expect = oracle.oracle_pdf_doc([c for _, c in pages])
+        g = got[doc_id]
+        assert g["clean_text"] == expect["clean_text"], doc_id
+        exp_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in expect["spans"]
+        ]
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]
+        ]
+        if exp_spans != got_spans:
+            mismatches += 1
+        m = expect["metrics"]
+        assert g["pages_in"] == m["pages_in"], doc_id
+        assert g["pages_kept"] == m["pages_kept"], doc_id
+        assert g["parse_failures"] == m["parse_failures"], doc_id
+        assert g["blocks_dropped"] == m["blocks_dropped"], doc_id
+        assert g["media_spans"] == m["media_spans"], doc_id
+        assert g["char_yield"] == m["char_yield"], doc_id
+    assert mismatches == 0
+
+
+def test_pipeline_b_matches_oracle(spark, fixture_docs):
+    docs_df = spark.createDataFrame(
+        [
+            (doc_id, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
+            for doc_id, spans, _ in fixture_docs
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {r["doc_id"]: r for r in extract_spans(docs_df).collect()}
+    assert len(got) == N_DOCS
+    for doc_id, spans, _ in fixture_docs:
+        expect = oracle.oracle_spans_doc(spans)
+        g = got[doc_id]
+        exp = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in expect["spans"]
+        ]
+        gotten = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]
+        ]
+        assert gotten == exp, f"{doc_id}\n{gotten[:3]}\n{exp[:3]}"
+        m = expect["metrics"]
+        for k in ("parse_failures", "blocks_dropped", "blocks_kept", "media_spans", "char_yield"):
+            assert g[k] == m[k], (doc_id, k, g[k], m[k])
+
+
+def test_determinism(spark, fixture_docs):
+    """Same input twice ⇒ identical spans (SURVEY §5 test plan (c))."""
+    doc_id, spans, _ = fixture_docs[0]
+    df = spark.createDataFrame(
+        [(doc_id, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    a = extract_spans(df).collect()[0]
+    b = extract_spans(df).collect()[0]
+    assert a == b
