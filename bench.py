@@ -1,0 +1,162 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Execution forces full materialization through the noop sink (no driver
+collect skew). The flagship extraction pipelines run over the
+deterministic synthetic interleaved corpus (FIXTURES.md) sized to the
+scale factor — n_docs = 200k·sf — since the engine's input_hint shape is
+not part of the driver tables.
+
+Scaling-efficiency mode (north_rule evidence): SPARK_GRAFT_SCALING=1
+re-runs the flagship extraction at two parallelism levels (local[8] vs
+local[32]) in separate SparkContexts and reports throughput at both plus
+eff = (T_8core / T_32core) / 4. Results recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+N_DOCS = max(200, int(200_000 * SF))  # synthetic interleaved corpus size
+
+HEADLINE = [
+    "pipeline_b_extract_spans",
+    "pipeline_a_extract_pdf",
+    "q_agg_pricing_summary",
+    "q_join_part_type_revenue",
+    "q_window_running_sum",
+    "q_salted_event_agg",
+    "d1_exact_dedup",
+    "a4_fingerprint",
+    "e1_embedding_norm",
+]
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _corpus_path(kind: str, n_docs: int) -> str:
+    return f"/tmp/spark_graft_{kind}_{n_docs}.parquet"
+
+
+def _materialize_corpus(spark, n_docs: int) -> tuple[str, str]:
+    """Generate the synthetic interleaved corpus to parquet once (cached
+    across bench runs) so extraction timing excludes Python generation."""
+    from deepseek_ocr_spark import corpus
+
+    docs_p = _corpus_path("documents", n_docs)
+    pages_p = _corpus_path("pages", n_docs // 4)
+    if not os.path.exists(docs_p):
+        corpus.spark_documents(spark, seed=42, n_docs=n_docs).write.mode(
+            "overwrite"
+        ).parquet(docs_p)
+    if not os.path.exists(pages_p):
+        corpus.spark_pages(spark, seed=42, n_docs=n_docs // 4).write.mode(
+            "overwrite"
+        ).parquet(pages_p)
+    return docs_p, pages_p
+
+
+def _bench_extraction(spark, docs_path: str) -> tuple[float, int]:
+    """Time the flagship span extraction over a materialized corpus."""
+    from deepseek_ocr_spark.operators.spans_pipeline import extract_spans
+
+    docs = spark.read.parquet(docs_path)
+    n = docs.count()  # also warms the file-scan
+    t0 = time.time()
+    _run(extract_spans(docs))
+    return time.time() - t0, n
+
+
+def main() -> None:
+    from deepseek_ocr_spark import queries as Q
+    from deepseek_ocr_spark.operators.extraction import extract_pdf
+    from deepseek_ocr_spark.operators.spans_pipeline import extract_spans
+    from deepseek_ocr_spark.session import get_spark
+
+    spark = get_spark(parallelism=CPUS, app_name="bench")
+    docs_p, pages_p = _materialize_corpus(spark, N_DOCS)
+    # warm the session: file scans + codegen/JIT on trivial plans
+    for t in ("lineitem", "events", "documents", "embeddings", "part"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+    total0 = time.time()
+
+    for name in HEADLINE:
+        fn, _ = Q.REGISTRY[name]
+
+        def build(name=name):
+            if name == "pipeline_b_extract_spans":
+                return extract_spans(spark.read.parquet(docs_p))
+            if name == "pipeline_a_extract_pdf":
+                return extract_pdf(spark.read.parquet(pages_p))
+            return fn(spark, SF_DIR)
+
+        # two runs; report the warm one (first pays JIT/codegen compile)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _run(build())
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    wall = round(time.time() - total0, 3)
+    result = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "parallelism": CPUS,
+        "wall_sec_incl_warmup": wall,
+        "extraction_docs": N_DOCS,
+        "extraction_docs_per_sec": round(
+            N_DOCS / timings["pipeline_b_extract_spans"], 1
+        ),
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # north_rule scaling evidence: same job, two cluster sizes (N=8
+        # cores vs 4N=32 cores), fresh SparkContext each.
+        spark.stop()
+        scaling = {}
+        for cores in (8, 32):
+            s = get_spark(parallelism=cores, app_name=f"bench-scale-{cores}")
+            _bench_extraction(s, docs_p)  # warmup (JIT, codegen)
+            t, n = _bench_extraction(s, docs_p)
+            scaling[str(cores)] = {
+                "sec": round(t, 3),
+                "docs_per_sec": round(n / t, 1),
+            }
+            s.stop()
+        eff = (scaling["8"]["sec"] / scaling["32"]["sec"]) / 4.0
+        result["scaling"] = scaling
+        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

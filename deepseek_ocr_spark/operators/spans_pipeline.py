@@ -5,13 +5,13 @@ Output: same schema, extracted — media refs resolved, boilerplate dropped,
 grounding stripped, text normalized, repetition collapsed, offsets dense —
 plus per-doc metrics columns. Golden oracle: oracle.oracle_spans_doc.
 
-Plan shape (the 100 TB story): this pipeline is a ZERO-SHUFFLE map — every
-step is a per-row array transformation. Media numbering, normally a
-window function (SURVEY §2.5 X5), is computed *inside the array* with
-higher-order functions, so a 10^12-document run is embarrassingly
-parallel: scan → project → write, no exchange at all. The only Python is
-one Arrow-batched pandas UDF for n-gram repetition collapse (F1); all
-regex/string work is JVM-side regexp_replace inside transform().
+Plan shape (the 100 TB story): this pipeline is a ZERO-SHUFFLE,
+ZERO-PYTHON map — every step is a per-row array transformation inside
+whole-stage codegen. Media numbering, normally a window function (SURVEY
+§2.5 X5), is computed *inside the array* with higher-order functions, and
+the n-gram repetition collapse (F1) is a Java-regex backreference
+replace, so a 10^12-document run is embarrassingly parallel: scan →
+project → write, no exchange and no JVM↔Python Arrow hop at all.
 
 Reference parity: grounding strip run_dpsk_ocr_pdf.py:313-314 (X7);
 media resolution in match order, single-image numbering scheme
@@ -23,71 +23,27 @@ run_dpsk_ocr_eval_batch.py:156 (T1/T2/T4); repetition collapse with
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
 
 # Java-regex version of the grounding pattern ((?s) = DOTALL).
 _REF_JRE = r"(?s)<\|ref\|>(.*?)<\|/ref\|><\|det\|>(.*?)<\|/det\|>"
 # A det payload is well-formed iff it is a bracketed list of 4-int lists.
 _DET_OK_JRE = r"^\s*\[\s*(\[\s*\d+\s*(,\s*\d+\s*){3}\]\s*,?\s*)+\]\s*$"
+# F1 span-level adaptation: a 4-word phrase repeated consecutively ≥2
+# extra times collapses to exactly 2 occurrences. Backreference regex —
+# identical leftmost-greedy semantics in Java (here) and Python (oracle).
+_COLLAPSE_JRE = r"((?:[^ ]+ ){4})(?:\1)+"
 
 BOILER_KINDS = ("footer", "nav")
 
 
-def _collapse_series(texts: pd.Series, ngram: int, max_repeats: int) -> pd.Series:
-    def collapse(text: str) -> str:
-        if text is None or "<td>" in text or "</td>" in text:
-            return text
-        words = text.split(" ")
-        if len(words) < ngram * (max_repeats + 1):
-            return text
-        out: list[str] = []
-        i = 0
-        while i < len(words):
-            gram = words[i : i + ngram]
-            out.extend(gram)
-            j = i + ngram
-            reps = 0
-            while words[j : j + ngram] == gram:
-                reps += 1
-                if reps <= max_repeats - 1:
-                    out.extend(gram)
-                j += ngram
-            i = j
-        return " ".join(out)
-
-    # vectorized pre-screen: only texts long enough to possibly repeat
-    # take the Python path
-    mask = texts.str.count(" ").fillna(0) >= ngram * (max_repeats + 1) - 1
-    result = texts.copy()
-    if mask.any():
-        result[mask] = texts[mask].map(collapse)
-    return result
-
-
-@F.pandas_udf(ArrayType(StringType()))
-def _collapse_texts_udf(arrs: pd.Series) -> pd.Series:
-    """array<string> → array<string>, collapsing runs of repeated 4-gram
-    phrases (>2 consecutive occurrences) per element; <td> whitelisted."""
-    flat: list[str] = []
-    lengths: list[int] = []
-    for arr in arrs:
-        if arr is None:
-            lengths.append(-1)
-            continue
-        lengths.append(len(arr))
-        flat.extend(arr)
-    collapsed = _collapse_series(pd.Series(flat, dtype="object"), 4, 2).tolist()
-    out, pos = [], 0
-    for n in lengths:
-        if n < 0:
-            out.append(None)
-            continue
-        out.append(collapsed[pos : pos + n])
-        pos += n
-    return pd.Series(out)
+def _collapse_expr(t: Column) -> Column:
+    """F1 repetition collapse, JVM-side; <td> cells whitelisted
+    (process/ngram_norepeat.py:33)."""
+    return F.when(
+        t.contains("<td>") | t.contains("</td>"), t
+    ).otherwise(F.regexp_replace(t, _COLLAPSE_JRE, "$1$1"))
 
 
 def _clean_text_expr(t: Column) -> Column:
@@ -152,7 +108,7 @@ def extract_spans(documents: DataFrame, media_prefix: str = "images/") -> DataFr
     )
     df = df.withColumn("_n", numbered)
 
-    # classify + rewrite/strip/normalize (JVM), collapse (pandas UDF)
+    # classify + rewrite/strip/normalize/collapse — all JVM-side
     rewritten = F.transform(
         "_n",
         lambda s: F.struct(
@@ -167,7 +123,9 @@ def extract_spans(documents: DataFrame, media_prefix: str = "images/") -> DataFr
                     F.lit(".jpg)\n"),
                 ),
             )
-            .otherwise(_clean_text_expr(F.coalesce(s["text"], F.lit(""))))
+            .otherwise(
+                _collapse_expr(_clean_text_expr(F.coalesce(s["text"], F.lit(""))))
+            )
             .alias("text"),
             F.when(
                 s["kind"] == "image",
@@ -178,22 +136,9 @@ def extract_spans(documents: DataFrame, media_prefix: str = "images/") -> DataFr
         ),
     )
     df = df.withColumn("_r", rewritten)
-    df = df.withColumn(
-        "_texts",
-        _collapse_texts_udf(F.transform("_r", lambda s: s["text"])),
-    )
-    merged = F.zip_with(
-        "_r",
-        "_texts",
-        lambda s, t: F.struct(
-            s["kind"].alias("kind"),
-            F.when(s["kind"] == "media", s["text"]).otherwise(t).alias("text"),
-            s["media_ref"].alias("media_ref"),
-        ),
-    )
     # boilerplate / empty drop, then dense re-offset
     kept = F.filter(
-        merged,
+        "_r",
         lambda s: (s["kind"] == "media")
         | (~s["kind"].isin(*BOILER_KINDS) & (F.trim(s["text"]) != "")),
     )

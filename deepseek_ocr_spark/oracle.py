@@ -104,29 +104,17 @@ def oracle_pdf_doc(pages: list[str], skip_repeat: bool = True) -> dict:
 BOILER_KINDS = {"footer", "nav"}
 
 
-def _collapse_repeats(text: str, ngram: int = 4, max_repeats: int = 2) -> str:
-    """Collapse >max_repeats consecutive repetitions of an ngram-word
-    phrase (F1 semantics at text level); <td>-bearing text is whitelisted
-    (process/ngram_norepeat.py:33)."""
+_COLLAPSE_RE = re.compile(r"((?:[^ ]+ ){4})(?:\1)+")
+
+
+def _collapse_repeats(text: str) -> str:
+    """Collapse consecutive runs of a repeated 4-word phrase down to 2
+    occurrences (span-level adaptation of F1, process/ngram_norepeat.py:7-40:
+    bounded-window repetition suppression); <td>-bearing text is whitelisted
+    (the token-id whitelist at ngram_norepeat.py:33)."""
     if "<td>" in text or "</td>" in text:
         return text
-    words = text.split(" ")
-    if len(words) < ngram * (max_repeats + 1):
-        return text
-    out: list[str] = []
-    i = 0
-    while i < len(words):
-        out.extend(words[i : i + ngram])
-        gram = words[i : i + ngram]
-        j = i + ngram
-        reps = 0
-        while words[j : j + ngram] == gram:
-            reps += 1
-            if reps <= max_repeats - 1:
-                out.extend(gram)
-            j += ngram
-        i = j
-    return " ".join(out)
+    return _COLLAPSE_RE.sub(r"\1\1", text)
 
 
 def _normalize(text: str) -> str:

@@ -1,0 +1,778 @@
+"""Driver-facing query registry: one named query per implemented operator
+from SURVEY.md §2, each as (a) an idiomatic PySpark DataFrame program and
+(b) an equivalent ANSI-SQL oracle string for DuckDB.
+
+Conventions that keep the two engines hash-identical:
+- Money/measure aggregation is done in DECIMAL (exact, order-independent)
+  and only the final value is cast to DOUBLE — double summation order
+  differs between engines and would break value-hash comparison.
+- Sequential double folds (array norms, cosines) are written left-to-right
+  on both sides and rounded to 6 decimals.
+- Every integral output is cast to BIGINT on both sides (Spark count/size
+  yields int/long inconsistently; DuckDB SUM(int) yields HUGEINT).
+- Every computed column is aliased identically on both sides.
+
+The extraction-operator queries (x*/t*/f*) run over a deterministic
+"raw page" augmentation of the driver's flat ``documents`` table: grounding
+blocks, malformed det payloads, LaTeX, <center>, newline runs and the EOS
+sentinel are injected as pure functions of doc_id, mirrored exactly in the
+DuckDB CTE ``raw_docs`` below (reference shapes: run_dpsk_ocr_pdf.py:124,
+138-148, 289-314).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .schema import EOS_SENTINEL
+
+# ---------------------------------------------------------------------------
+# shared constants (kept in sync between the Spark and DuckDB sides)
+# ---------------------------------------------------------------------------
+
+# Java/RE2-portable grounding pattern (run_dpsk_ocr_pdf.py:124).
+REF_PAT = r"(?s)<\|ref\|>(.*?)<\|/ref\|><\|det\|>(.*?)<\|/det\|>"
+MEDIA_PAT = r"(?s)<\|ref\|>image<\|/ref\|><\|det\|>(.*?)<\|/det\|>"
+# well-formed det payload: bracketed list of 4-int lists (X3 semantics)
+DET_OK_PAT = r"^\s*\[\s*(\[\s*\d+\s*(,\s*\d+\s*){3}\]\s*,?\s*)+\]\s*$"
+PAGE_SEP = " <|p|> "
+STOPWORDS = ("the", "a", "of")
+
+_num = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, p: int = 18, s: int = 2):
+    return _num(c).cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# raw-page augmentation of the driver's documents table (both engines)
+# ---------------------------------------------------------------------------
+
+
+def with_raw(df: DataFrame) -> DataFrame:
+    """Inject reference-shaped structures into each doc as a pure function
+    of doc_id. Mirrored byte-for-byte by RAW_DOCS_CTE."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    raw = F.concat(
+        F.lit("<|ref|>title<|/ref|><|det|>[["),
+        s(d % 900),
+        F.lit(",10,"),
+        s(d % 500 + 110),
+        F.lit(",48]]<|/det|># Heading "),
+        s(d),
+        F.lit("\n"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("<|ref|>image<|/ref|><|det|>[["),
+                s(d % 300),
+                F.lit(",50,600,420]]<|/det|>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(
+            d % 6 == 0, F.lit("\n<|ref|>image<|/ref|><|det|>[[12,600,700,900]]<|/det|>")
+        ).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("<|ref|>text<|/ref|><|det|>[[12, 34<|/det|>")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            d % 5 == 0,
+            F.lit("\nx \\coloneqq y \\eqqcolon z\n\n\n\n<center>centered</center>"),
+        ).otherwise(F.lit("")),
+        F.when(d % 3 > 0, F.lit(EOS_SENTINEL)).otherwise(F.lit("")),
+    )
+    return df.withColumn("raw", raw)
+
+
+RAW_DOCS_CTE = f"""
+raw_docs AS (
+  SELECT doc_id, lang, source, n_chars,
+    '<|ref|>title<|/ref|><|det|>[[' || CAST(doc_id % 900 AS VARCHAR) || ',10,'
+      || CAST(doc_id % 500 + 110 AS VARCHAR) || ',48]]<|/det|># Heading '
+      || CAST(doc_id AS VARCHAR) || chr(10)
+    || CASE WHEN doc_id % 4 = 0 THEN '<|ref|>image<|/ref|><|det|>[['
+         || CAST(doc_id % 300 AS VARCHAR) || ',50,600,420]]<|/det|>' ELSE '' END
+    || text
+    || CASE WHEN doc_id % 6 = 0 THEN chr(10) ||
+         '<|ref|>image<|/ref|><|det|>[[12,600,700,900]]<|/det|>' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN
+         '<|ref|>text<|/ref|><|det|>[[12, 34<|/det|>' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'x \\coloneqq y \\eqqcolon z'
+         || chr(10) || chr(10) || chr(10) || chr(10)
+         || '<center>centered</center>' ELSE '' END
+    || CASE WHEN doc_id % 3 > 0 THEN '{EOS_SENTINEL}' ELSE '' END
+    AS raw
+  FROM documents
+)
+"""
+
+
+def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_raw(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# relational core (§2.7 checklist: filter/join/agg/window/sort/set-op)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregation: partial+final map-side combine,
+    decimal-exact measures. 100 TB note: 6-group output — pure map-side
+    reduction, shuffle carries only |groups|×|tasks| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("l_discount").cast("double"))
+            .alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS sum_disc_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE)
+       AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders shuffle join + sort-agg + deterministic top-k.
+    customer is the small side → broadcast (no shuffle of orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+        .select(F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name", "revenue", "n_orders")
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def q_join_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join of the small dim (part) against the fact table —
+    at 100 TB this is the no-shuffle join shape for every dim ≤ a few GB."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+SQL_PART_TYPE_REVENUE = """
+SELECT p_type,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
+def q_semijoin_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / left-semi join (orders with any late-shipped lineitem)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregation per user over event time (decimal-exact
+    so both engines agree bitwise)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.sum(_dec("value", 18, 6)).over(w).cast("double").alias("running_value"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+SQL_RUNNING_SUM = """
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+       (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running_value,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+"""
+
+
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic top-k (sort + limit; ties broken by id).
+    At scale: per-partition top-k then merge — Spark's TakeOrderedAndProject
+    does exactly this, no full sort."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+SQL_TOPK_EVENTS = """
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type, ROUND(value, 6) AS value
+FROM events ORDER BY value DESC, event_id ASC LIMIT 100
+"""
+
+
+def q_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) per day — two-phase distinct aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+SQL_DAILY_USERS = """
+SELECT CAST(ts AS DATE) AS day,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY CAST(ts AS DATE)
+"""
+
+
+def q_setop_urgent_not_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers with URGENT orders but no LOW orders."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").cast("bigint").alias("custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").cast("bigint").alias("custkey")
+    )
+    return urgent.distinct().subtract(low)
+
+
+SQL_URGENT_NOT_LOW = """
+SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def q_salted_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a skewed low-cardinality key
+    (north_rule: explicit salting of skewed keys). Phase 1 groups on
+    (key, salt) — spreads each hot key over 16 reducers; phase 2 merges
+    the 16 partials. Oracle is the plain GROUP BY: salting must be
+    semantics-preserving."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum(_dec("value", 18, 6)).alias("_v"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum("_v").cast("double").alias("total_value"),
+    )
+
+
+SQL_EVENT_AGG = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction operators over raw_docs (SURVEY §2.4–2.6)
+# ---------------------------------------------------------------------------
+
+
+def x1_grounding_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: regex scan for grounding spans; per-doc match count + first
+    label (run_dpsk_ocr_pdf.py:123-135)."""
+    df = _raw(spark, sf_dir)
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(F.regexp_extract_all("raw", F.lit(REF_PAT), 0))
+        .cast("bigint")
+        .alias("n_spans"),
+        F.regexp_extract("raw", REF_PAT, 1).alias("first_label"),
+    )
+
+
+SQL_X1 = f"""
+WITH {RAW_DOCS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(regexp_extract_all(raw, '{REF_PAT}')) AS BIGINT) AS n_spans,
+  regexp_extract(raw, '{REF_PAT}', 1) AS first_label
+FROM raw_docs
+"""
+
+
+def x2_span_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: classify spans media vs layout (label == 'image' ⇒ media,
+    run_dpsk_ocr_pdf.py:130-134)."""
+    df = _raw(spark, sf_dir)
+    n_media = F.size(F.regexp_extract_all("raw", F.lit(MEDIA_PAT), 0)).cast("bigint")
+    n_total = F.size(F.regexp_extract_all("raw", F.lit(REF_PAT), 0)).cast("bigint")
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_media.alias("n_media"),
+        (n_total - n_media).alias("n_layout"),
+    )
+
+
+SQL_X2 = f"""
+WITH {RAW_DOCS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(regexp_extract_all(raw, '{MEDIA_PAT}')) AS BIGINT) AS n_media,
+  CAST(len(regexp_extract_all(raw, '{REF_PAT}'))
+     - len(regexp_extract_all(raw, '{MEDIA_PAT}')) AS BIGINT) AS n_layout
+FROM raw_docs
+"""
+
+
+def x3_det_parse_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: safe det-payload parse; malformed payloads are counted, not
+    fatal (error-swallowing semantics of run_dpsk_ocr_pdf.py:138-148)."""
+    df = _raw(spark, sf_dir)
+    dets = F.regexp_extract_all("raw", F.lit(REF_PAT), 2)
+    bad = F.filter(dets, lambda d: ~d.rlike(DET_OK_PAT))
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(dets).cast("bigint").alias("n_det"),
+        F.size(bad).cast("bigint").alias("parse_failures"),
+    )
+
+
+SQL_X3 = f"""
+WITH {RAW_DOCS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(regexp_extract_all(raw, '{REF_PAT}', 2)) AS BIGINT) AS n_det,
+  CAST(len(list_filter(regexp_extract_all(raw, '{REF_PAT}', 2),
+       d -> NOT regexp_matches(d, '{DET_OK_PAT}'))) AS BIGINT) AS parse_failures
+FROM raw_docs
+"""
+
+_BOX_PAT = r"<\|det\|>\[\[(\d+),(\d+),(\d+),(\d+)\]\]<\|/det\|>"
+
+
+def x4_coord_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: 0–999 virtual grid → pixel space, int(x/999*W) at W=1280,H=1810
+    (run_dpsk_ocr_pdf.py:175-181)."""
+    df = _raw(spark, sf_dir)
+
+    def px(g: int, dim: int):
+        v = F.nullif(F.regexp_extract("raw", _BOX_PAT, g), F.lit("")).cast("bigint")
+        return F.floor(v / 999 * dim).cast("bigint")
+
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        px(1, 1280).alias("px1"),
+        px(2, 1810).alias("py1"),
+        px(3, 1280).alias("px2"),
+        px(4, 1810).alias("py2"),
+    )
+
+
+SQL_X4 = f"""
+WITH {RAW_DOCS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(FLOOR(CAST(NULLIF(regexp_extract(raw, '{_BOX_PAT}', 1), '') AS BIGINT) / 999.0 * 1280) AS BIGINT) AS px1,
+  CAST(FLOOR(CAST(NULLIF(regexp_extract(raw, '{_BOX_PAT}', 2), '') AS BIGINT) / 999.0 * 1810) AS BIGINT) AS py1,
+  CAST(FLOOR(CAST(NULLIF(regexp_extract(raw, '{_BOX_PAT}', 3), '') AS BIGINT) / 999.0 * 1280) AS BIGINT) AS px2,
+  CAST(FLOOR(CAST(NULLIF(regexp_extract(raw, '{_BOX_PAT}', 4), '') AS BIGINT) / 999.0 * 1810) AS BIGINT) AS py2
+FROM raw_docs
+"""
+
+
+def x5_media_ref_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: media spans numbered in match order per document →
+    deterministic media_ref (run_dpsk_ocr_pdf.py:183-190,310-311).
+    posexplode keeps match order, so numbering is shuffle-free."""
+    df = _raw(spark, sf_dir)
+    return (
+        df.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.posexplode(F.regexp_extract_all("raw", F.lit(MEDIA_PAT), 0)).alias(
+                "idx", "block"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("idx").cast("bigint").alias("idx"),
+            F.concat(F.lit("images/0_"), F.col("idx").cast("string"), F.lit(".jpg")).alias(
+                "media_ref"
+            ),
+        )
+    )
+
+
+SQL_X5 = f"""
+WITH {RAW_DOCS_CTE},
+m AS (SELECT doc_id, len(regexp_extract_all(raw, '{MEDIA_PAT}')) AS n FROM raw_docs)
+SELECT CAST(m.doc_id AS BIGINT) AS doc_id, CAST(r.range AS BIGINT) AS idx,
+  'images/0_' || CAST(r.range AS VARCHAR) || '.jpg' AS media_ref
+FROM m, range(0, 4) r WHERE r.range < m.n
+"""
+
+
+def x6_clean_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6+X7+F3+T1+T2+T4 composed: EOS strip → media rewrite → layout
+    strip → LaTeX normalize → <center> strip → blank-line collapse
+    (run_dpsk_ocr_pdf.py:289-314; run_dpsk_ocr_eval_batch.py:154-156)."""
+    df = _raw(spark, sf_dir)
+    c = F.replace(F.col("raw"), F.lit(EOS_SENTINEL), F.lit(""))
+    c = F.regexp_replace(c, MEDIA_PAT, "![](media)\n")
+    c = F.regexp_replace(c, REF_PAT, "")
+    c = F.replace(c, F.lit("\\coloneqq"), F.lit(":="))
+    c = F.replace(c, F.lit("\\eqqcolon"), F.lit("=:"))
+    c = F.replace(c, F.lit("<center>"), F.lit(""))
+    c = F.replace(c, F.lit("</center>"), F.lit(""))
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        c.alias("clean"),
+        F.length(c).cast("bigint").alias("char_yield"),
+    )
+
+
+SQL_X6 = f"""
+WITH {RAW_DOCS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  regexp_replace(
+    replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(replace(raw, '{EOS_SENTINEL}', ''),
+                       '{MEDIA_PAT}', '![](media)' || chr(10), 'g'),
+        '{REF_PAT}', '', 'g'),
+      '\\coloneqq', ':='), '\\eqqcolon', '=:'), '<center>', ''), '</center>', ''),
+    '\\n{{3,}}', chr(10) || chr(10), 'g') AS clean,
+  CAST(length(regexp_replace(
+    replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(replace(raw, '{EOS_SENTINEL}', ''),
+                       '{MEDIA_PAT}', '![](media)' || chr(10), 'g'),
+        '{REF_PAT}', '', 'g'),
+      '\\coloneqq', ':='), '\\eqqcolon', '=:'), '<center>', ''), '</center>', ''),
+    '\\n{{3,}}', chr(10) || chr(10), 'g')) AS BIGINT) AS char_yield
+FROM raw_docs
+"""
+
+
+def f2_eos_page_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (SKIP_REPEAT): docs lacking the EOS sentinel are dropped; F3:
+    sentinel stripped from the kept ones (run_dpsk_ocr_pdf.py:289-293)."""
+    df = _raw(spark, sf_dir)
+    return (
+        df.filter(F.contains(F.col("raw"), F.lit(EOS_SENTINEL)))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.length(F.replace(F.col("raw"), F.lit(EOS_SENTINEL), F.lit("")))
+            .cast("bigint")
+            .alias("kept_len"),
+        )
+    )
+
+
+SQL_F2 = f"""
+WITH {RAW_DOCS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(length(replace(raw, '{EOS_SENTINEL}', '')) AS BIGINT) AS kept_len
+FROM raw_docs WHERE contains(raw, '{EOS_SENTINEL}')
+"""
+
+
+def t5_source_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: per-group ordered concatenation (sort-agg; the page-split join
+    of run_dpsk_ocr_pdf.py:296-298 keyed on source instead of doc)."""
+    df = _t(spark, sf_dir, "documents")
+    return df.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            PAGE_SEP,
+        ).alias("doc_text"),
+        F.count("*").cast("bigint").alias("n_pages"),
+    )
+
+
+SQL_T5 = f"""
+SELECT source, string_agg(text, '{PAGE_SEP}' ORDER BY doc_id) AS doc_text,
+  CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / embeddings (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def a1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex word tokens."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z0-9]+"), 0))
+        .cast("bigint")
+        .alias("word_tokens"),
+    )
+
+
+SQL_A1 = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens
+FROM documents
+"""
+
+
+def a2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length + stopword-ratio features (jusText-style
+    block features, north_star)."""
+    df = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(n_stop / F.nullif(n_tok, F.lit(0.0)), 6).alias("stop_ratio"),
+        (F.col("n_chars") >= 200).alias("len_ok"),
+    )
+
+
+_SW = "('" + "','".join(STOPWORDS) + "')"
+SQL_A2 = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW})) AS DOUBLE)
+        / NULLIF(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0), 6) AS stop_ratio,
+  n_chars >= 200 AS len_ok
+FROM documents
+"""
+
+
+def a4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over a normalized prefix; groups are
+    duplicate candidates."""
+    df = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(F.regexp_replace("text", r"[^a-z0-9 ]", ""), 1, 64))
+    return df.groupBy(fp.alias("fp")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("canonical_doc"),
+    )
+
+
+SQL_A4 = r"""
+SELECT md5(substr(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), 1, 64)) AS fp,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+FROM documents GROUP BY 1
+"""
+
+
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a normalized key; emits duplicate
+    groups with the canonical (min) doc_id. At 100 TB: group on
+    md5(full text) — constant-size shuffle keys regardless of doc size."""
+    df = _t(spark, sf_dir, "documents")
+    key = F.md5(F.substring("text", 1, 40))
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+SQL_D1 = """
+SELECT md5(substr(text, 1, 40)) AS dup_key,
+  CAST(COUNT(*) AS BIGINT) AS n_dups,
+  CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def e1_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math: L2 norm via sequential double fold (F.aggregate —
+    stays in codegen, no UDF)."""
+    df = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return df.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+
+
+SQL_E1 = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+  ROUND(sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+  CAST(label AS BIGINT) AS label
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline entries (non-SQL-expressible → rows-only driver check; the
+# byte-exact oracle for these is the pure-Python comparator in tests/)
+# ---------------------------------------------------------------------------
+
+
+def pipeline_b_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: interleaved span-table extraction (input_hint shape) over
+    the deterministic synthetic corpus; exploded to flat rows."""
+    from . import corpus
+    from .operators.spans_pipeline import extract_spans
+
+    docs = corpus.spark_documents(spark, seed=42, n_docs=300)
+    out = extract_spans(docs)
+    return out.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").cast("bigint").alias("offset"),
+    )
+
+
+def pipeline_a_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-page pipeline (run_dpsk_ocr_pdf.py:286-320 semantics) over the
+    synthetic page corpus; per-doc metrics row."""
+    from . import corpus
+    from .operators.extraction import extract_pdf
+
+    pages = corpus.spark_pages(spark, seed=42, n_docs=300)
+    out = extract_pdf(pages)
+    return out.select(
+        "doc_id",
+        F.col("pages_in").cast("bigint").alias("pages_in"),
+        F.col("pages_kept").cast("bigint").alias("pages_kept"),
+        F.col("parse_failures").cast("bigint").alias("parse_failures"),
+        F.col("media_spans").cast("bigint").alias("media_spans"),
+        F.col("char_yield").cast("bigint").alias("char_yield"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q_agg_pricing_summary": (q_agg_pricing_summary, SQL_PRICING),
+    "q_join_top_customers": (q_join_top_customers, SQL_TOP_CUSTOMERS),
+    "q_join_part_type_revenue": (q_join_part_type_revenue, SQL_PART_TYPE_REVENUE),
+    "q_semijoin_order_priority": (q_semijoin_order_priority, SQL_ORDER_PRIORITY),
+    "q_window_running_sum": (q_window_running_sum, SQL_RUNNING_SUM),
+    "q_topk_events": (q_topk_events, SQL_TOPK_EVENTS),
+    "q_distinct_daily_users": (q_distinct_daily_users, SQL_DAILY_USERS),
+    "q_setop_urgent_not_low": (q_setop_urgent_not_low, SQL_URGENT_NOT_LOW),
+    "q_salted_event_agg": (q_salted_event_agg, SQL_EVENT_AGG),
+    "x1_grounding_scan": (x1_grounding_scan, SQL_X1),
+    "x2_span_classify": (x2_span_classify, SQL_X2),
+    "x3_det_parse_check": (x3_det_parse_check, SQL_X3),
+    "x4_coord_rescale": (x4_coord_rescale, SQL_X4),
+    "x5_media_ref_resolution": (x5_media_ref_resolution, SQL_X5),
+    "x6_clean_rewrite": (x6_clean_rewrite, SQL_X6),
+    "f2_eos_page_gate": (f2_eos_page_gate, SQL_F2),
+    "t5_source_concat": (t5_source_concat, SQL_T5),
+    "a1_token_count": (a1_token_count, SQL_A1),
+    "a2_quality_score": (a2_quality_score, SQL_A2),
+    "a4_fingerprint": (a4_fingerprint, SQL_A4),
+    "d1_exact_dedup": (d1_exact_dedup, SQL_D1),
+    "e1_embedding_norm": (e1_embedding_norm, SQL_E1),
+    "pipeline_b_extract_spans": (pipeline_b_extract_spans, None),
+    "pipeline_a_extract_pdf": (pipeline_a_extract_pdf, None),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

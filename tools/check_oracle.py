@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate: run every REGISTRY query
+on Spark and its oracle SQL on DuckDB at sf0.01, compare row count, column
+names, and order-insensitive values. Floats compared exactly after the
+rounding the queries themselves apply — any divergence printed with detail.
+
+Usage: python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from deepseek_ocr_spark import queries as Q
+from deepseek_ocr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _rows_to_set(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def main(only: list[str]) -> int:
+    spark = get_spark(parallelism=8, shuffle_partitions=8, app_name="check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    failures = 0
+    for name, (fn, sql) in Q.REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if sql is None:
+            print(f"ok   {name}: rows-only, {len(rows)} rows ({time.time()-t0:.1f}s)")
+            if len(rows) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        ok = True
+        if sorted(cols) != sorted(ocols):
+            print(f"FAIL {name}: columns {sorted(cols)} vs {sorted(ocols)}")
+            ok = False
+        if len(rows) != len(orows):
+            print(f"FAIL {name}: row count {len(rows)} vs {len(orows)}")
+            ok = False
+        if ok:
+            a, b = _rows_to_set(cols, rows), _rows_to_set(ocols, orows)
+            if a != b:
+                diff_a = [r for r in a if r not in set(b)][:3]
+                diff_b = [r for r in b if r not in set(a)][:3]
+                print(f"FAIL {name}: value mismatch\n  spark-only: {diff_a}\n  duck-only:  {diff_b}")
+                ok = False
+        if ok:
+            print(f"ok   {name}: {len(rows)} rows match ({time.time()-t0:.1f}s)")
+        else:
+            failures += 1
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
