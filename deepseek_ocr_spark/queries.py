@@ -693,6 +693,337 @@ FROM embeddings
 
 
 # ---------------------------------------------------------------------------
+# boilerplate classification over a synthetic flattened DOM table
+# (north_star: jusText/Readability text-density/link-density heuristics)
+# ---------------------------------------------------------------------------
+
+# Deterministic DOM-node derivation from the driver documents table,
+# mirrored in DOM_NODES_CTE: 6 nodes per doc, tags/link-chars/tag-counts
+# pure functions of (doc_id, node_id).
+
+
+def dom_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    d, n = F.col("doc_id"), F.col("node_id")
+    node_text = F.substring("text", (n * 50 + 1).cast("int"), 50)
+    n_chars = F.length(node_text)
+    mod7 = (d + n) % 7
+    tag = (
+        F.when(mod7 == 0, "nav")
+        .when(mod7 == 3, "footer")
+        .when(mod7 == 5, "td")
+        .when(mod7 == 2, "div")
+        .otherwise("p")
+    )
+    mod4 = (d + n) % 4
+    n_link = (
+        F.when(mod4 == 0, F.floor(n_chars * 2 / F.lit(5.0)))
+        .when(mod4 == 1, F.floor(n_chars / F.lit(20.0)))
+        .otherwise(F.lit(0))
+    )
+    return (
+        df.select("doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("node_id"))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("node_id").cast("bigint").alias("node_id"),
+            tag.alias("tag"),
+            node_text.alias("text"),
+            n_chars.cast("bigint").alias("n_chars"),
+            n_link.cast("bigint").alias("n_link_chars"),
+            (1 + (d * 3 + n) % 4).cast("bigint").alias("n_tags"),
+        )
+    )
+
+
+DOM_NODES_CTE = """
+dom_nodes AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(r.range AS BIGINT) AS node_id,
+    CASE (doc_id + r.range) % 7 WHEN 0 THEN 'nav' WHEN 3 THEN 'footer'
+         WHEN 5 THEN 'td' WHEN 2 THEN 'div' ELSE 'p' END AS tag,
+    substr(text, CAST(r.range * 50 + 1 AS INT), 50) AS text,
+    CAST(length(substr(text, CAST(r.range * 50 + 1 AS INT), 50)) AS BIGINT) AS n_chars,
+    CAST(CASE (doc_id + r.range) % 4
+      WHEN 0 THEN FLOOR(length(substr(text, CAST(r.range * 50 + 1 AS INT), 50)) * 2 / 5.0)
+      WHEN 1 THEN FLOOR(length(substr(text, CAST(r.range * 50 + 1 AS INT), 50)) / 20.0)
+      ELSE 0 END AS BIGINT) AS n_link_chars,
+    CAST(1 + (doc_id * 3 + r.range) % 4 AS BIGINT) AS n_tags
+  FROM documents, range(0, 6) r
+)
+"""
+
+
+def b1_boilerplate_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText context-free + context-sensitive block classification."""
+    from .operators.boilerplate import classify_nodes
+
+    return classify_nodes(dom_nodes(spark, sf_dir)).select(
+        "doc_id", "node_id", "tag", "link_density", "cls_raw", "cls"
+    )
+
+
+SQL_B1 = f"""
+WITH {DOM_NODES_CTE},
+feat AS (
+  SELECT *, ROUND(CAST(n_link_chars AS DOUBLE) /
+                  GREATEST(CAST(n_chars AS DOUBLE), 1.0), 6) AS link_density,
+    CASE
+      WHEN tag IN ('nav','footer','aside','header','form','script') THEN 'bad'
+      WHEN CAST(n_link_chars AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) > 0.3 THEN 'bad'
+      WHEN n_chars < 20 THEN 'short'
+      WHEN n_chars >= 80 AND CAST(n_link_chars AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) < 0.1 THEN 'good'
+      ELSE 'near' END AS cls_raw
+  FROM dom_nodes
+),
+ctx AS (
+  SELECT *,
+    last_value(CASE WHEN cls_raw IN ('good','bad') THEN cls_raw END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY node_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_cls,
+    first_value(CASE WHEN cls_raw IN ('good','bad') THEN cls_raw END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY node_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_cls
+  FROM feat
+)
+SELECT doc_id, node_id, tag, link_density, cls_raw,
+  CASE WHEN cls_raw IN ('good','bad') THEN cls_raw
+       WHEN prev_cls = 'good' OR next_cls = 'good' THEN 'good'
+       ELSE 'bad' END AS cls
+FROM ctx
+"""
+
+
+def b2_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc main content after boilerplate drop + metrics."""
+    from .operators.boilerplate import extract_main_content
+
+    return extract_main_content(dom_nodes(spark, sf_dir))
+
+
+SQL_B2 = f"""
+WITH {DOM_NODES_CTE},
+feat AS (
+  SELECT *,
+    CASE
+      WHEN tag IN ('nav','footer','aside','header','form','script') THEN 'bad'
+      WHEN CAST(n_link_chars AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) > 0.3 THEN 'bad'
+      WHEN n_chars < 20 THEN 'short'
+      WHEN n_chars >= 80 AND CAST(n_link_chars AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) < 0.1 THEN 'good'
+      ELSE 'near' END AS cls_raw
+  FROM dom_nodes
+),
+ctx AS (
+  SELECT *,
+    last_value(CASE WHEN cls_raw IN ('good','bad') THEN cls_raw END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY node_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_cls,
+    first_value(CASE WHEN cls_raw IN ('good','bad') THEN cls_raw END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY node_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_cls
+  FROM feat
+),
+cls AS (
+  SELECT *, CASE WHEN cls_raw IN ('good','bad') THEN cls_raw
+       WHEN prev_cls = 'good' OR next_cls = 'good' THEN 'good'
+       ELSE 'bad' END AS cls
+  FROM ctx
+)
+SELECT doc_id,
+  coalesce(string_agg(text, e'\\n' ORDER BY node_id) FILTER (cls = 'good'), '') AS content,
+  CAST(COUNT(*) FILTER (cls = 'good') AS BIGINT) AS blocks_kept,
+  CAST(COUNT(*) FILTER (cls <> 'good') AS BIGINT) AS blocks_dropped,
+  CAST(coalesce(SUM(n_chars) FILTER (cls = 'good'), 0) AS BIGINT) AS char_yield
+FROM cls GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# XY-cut reading-order recovery over a synthetic layout-block table
+# ---------------------------------------------------------------------------
+
+
+def layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 blocks per doc: title band, 3-left + 3-right columns, footer;
+    jitter and font variation are pure functions of (doc_id, i)."""
+    df = _t(spark, sf_dir, "documents")
+    d, i = F.col("doc_id"), F.col("block_id")
+    x1 = (
+        F.when(i == 0, 100 + d % 50)
+        .when((i >= 1) & (i <= 3), F.lit(50))
+        .when((i >= 4) & (i <= 6), F.lit(520))
+        .otherwise(F.lit(100))
+    )
+    x2 = (
+        F.when(i == 0, F.lit(899))
+        .when((i >= 1) & (i <= 3), F.lit(480))
+        .when((i >= 4) & (i <= 6), F.lit(950))
+        .otherwise(F.lit(899))
+    )
+    y1 = (
+        F.when(i == 0, F.lit(10))
+        .when((i >= 1) & (i <= 3), 100 + (i - 1) * 140 + d % 20)
+        .when((i >= 4) & (i <= 6), 100 + (i - 4) * 140 + d % 15)
+        .otherwise(F.lit(940))
+    )
+    y2 = (
+        F.when(i == 0, F.lit(60))
+        .when((i >= 1) & (i <= 6), y1 + 130)
+        .otherwise(F.lit(990))
+    )
+    font = (
+        F.when(i == 0, F.lit(24.0))
+        .when(i == 7, F.lit(8.0))
+        .when((d + i) % 3 == 0, F.lit(14.0))
+        .otherwise(F.lit(12.0))
+    )
+    return (
+        df.select("doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("block_id"))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.lit(0).cast("bigint").alias("page_no"),
+            F.col("block_id").cast("bigint").alias("block_id"),
+            x1.cast("bigint").alias("x1"),
+            y1.cast("bigint").alias("y1"),
+            x2.cast("bigint").alias("x2"),
+            y2.cast("bigint").alias("y2"),
+            font.cast("double").alias("font_size"),
+            F.substring("text", (F.col("block_id") * 30 + 1).cast("int"), 30).alias("text"),
+        )
+    )
+
+
+LAYOUT_BLOCKS_CTE = """
+layout_blocks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS page_no,
+    CAST(r.range AS BIGINT) AS block_id,
+    CAST(CASE WHEN r.range = 0 THEN 100 + doc_id % 50
+         WHEN r.range BETWEEN 1 AND 3 THEN 50
+         WHEN r.range BETWEEN 4 AND 6 THEN 520 ELSE 100 END AS BIGINT) AS x1,
+    CAST(CASE WHEN r.range = 0 THEN 10
+         WHEN r.range BETWEEN 1 AND 3 THEN 100 + (r.range - 1) * 140 + doc_id % 20
+         WHEN r.range BETWEEN 4 AND 6 THEN 100 + (r.range - 4) * 140 + doc_id % 15
+         ELSE 940 END AS BIGINT) AS y1,
+    CAST(CASE WHEN r.range = 0 THEN 899
+         WHEN r.range BETWEEN 1 AND 3 THEN 480
+         WHEN r.range BETWEEN 4 AND 6 THEN 950 ELSE 899 END AS BIGINT) AS x2,
+    CAST(CASE WHEN r.range = 0 THEN 60
+         WHEN r.range BETWEEN 1 AND 3 THEN 100 + (r.range - 1) * 140 + doc_id % 20 + 130
+         WHEN r.range BETWEEN 4 AND 6 THEN 100 + (r.range - 4) * 140 + doc_id % 15 + 130
+         ELSE 990 END AS BIGINT) AS y2,
+    CAST(CASE WHEN r.range = 0 THEN 24.0 WHEN r.range = 7 THEN 8.0
+         WHEN (doc_id + r.range) % 3 = 0 THEN 14.0 ELSE 12.0 END AS DOUBLE) AS font_size,
+    substr(text, CAST(r.range * 30 + 1 AS INT), 30) AS text
+  FROM documents, range(0, 8) r
+)
+"""
+
+_CUT_SQL = """
+{name} AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_max IS NULL OR {lo} > prev_max THEN 1 ELSE 0 END)
+    OVER (PARTITION BY {part} ORDER BY {lo}, {hi}, block_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS {out}
+  FROM (
+    SELECT *, MAX({hi}) OVER (PARTITION BY {part} ORDER BY {lo}, {hi}, block_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM {src}
+  )
+)
+"""
+
+
+def _cuts_sql() -> str:
+    c1 = _CUT_SQL.format(
+        name="c1", src="layout_blocks", part="doc_id, page_no", lo="y1", hi="y2", out="band"
+    )
+    c2 = _CUT_SQL.format(
+        name="c2",
+        src="(SELECT * EXCLUDE (prev_max) FROM c1)",
+        part="doc_id, page_no, band",
+        lo="x1",
+        hi="x2",
+        out="col",
+    )
+    c3 = _CUT_SQL.format(
+        name="c3",
+        src="(SELECT * EXCLUDE (prev_max) FROM c2)",
+        part="doc_id, page_no, band, col",
+        lo="y1",
+        hi="y2",
+        out="subband",
+    )
+    return f"{c1}, {c2}, {c3}"
+
+
+def l1_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XY-cut band/column/sub-band segmentation + reading order."""
+    from .operators.layout import reading_order
+
+    return reading_order(layout_blocks(spark, sf_dir)).select(
+        "doc_id",
+        "block_id",
+        F.col("band").cast("bigint").alias("band"),
+        F.col("col").cast("bigint").alias("col"),
+        F.col("subband").cast("bigint").alias("subband"),
+        F.col("reading_order").cast("bigint").alias("reading_order"),
+    )
+
+
+SQL_L1 = f"""
+WITH {LAYOUT_BLOCKS_CTE}, {_cuts_sql()}
+SELECT doc_id, block_id, band, col, subband,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page_no
+       ORDER BY band, col, subband, y1, x1, block_id) - 1 AS BIGINT) AS reading_order
+FROM c3
+"""
+
+
+def l2_font_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Font-run merging on top of reading order."""
+    from .operators.layout import merge_font_runs, reading_order
+
+    return merge_font_runs(reading_order(layout_blocks(spark, sf_dir))).select(
+        "doc_id",
+        F.col("run_order").cast("bigint").alias("run_order"),
+        "font_size",
+        "text",
+        "n_blocks",
+        F.col("x1").cast("bigint").alias("x1"),
+        F.col("y1").cast("bigint").alias("y1"),
+        F.col("x2").cast("bigint").alias("x2"),
+        F.col("y2").cast("bigint").alias("y2"),
+    )
+
+
+SQL_L2 = f"""
+WITH {LAYOUT_BLOCKS_CTE}, {_cuts_sql()},
+ro AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page_no
+       ORDER BY band, col, subband, y1, x1, block_id) - 1 AS BIGINT) AS reading_order
+  FROM c3
+),
+runs AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_font = font_size
+        AND x1 <= prev_x2 AND x2 >= prev_x1
+        AND (y1 - prev_y2) >= 0 AND (y1 - prev_y2) < 25 THEN 0 ELSE 1 END)
+    OVER (PARTITION BY doc_id, page_no ORDER BY reading_order
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+  FROM (
+    SELECT *, lag(x1) OVER w AS prev_x1, lag(x2) OVER w AS prev_x2,
+      lag(font_size) OVER w AS prev_font, lag(y2) OVER w AS prev_y2
+    FROM ro
+    WINDOW w AS (PARTITION BY doc_id, page_no ORDER BY reading_order)
+  )
+)
+SELECT doc_id, CAST(MIN(reading_order) AS BIGINT) AS run_order,
+  first(font_size ORDER BY reading_order) AS font_size,
+  string_agg(text, ' ' ORDER BY reading_order) AS text,
+  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+  CAST(MIN(x1) AS BIGINT) AS x1, CAST(MIN(y1) AS BIGINT) AS y1,
+  CAST(MAX(x2) AS BIGINT) AS x2, CAST(MAX(y2) AS BIGINT) AS y2
+FROM runs GROUP BY doc_id, page_no, run_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # pipeline entries (non-SQL-expressible → rows-only driver check; the
 # byte-exact oracle for these is the pure-Python comparator in tests/)
 # ---------------------------------------------------------------------------
@@ -765,6 +1096,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a4_fingerprint": (a4_fingerprint, SQL_A4),
     "d1_exact_dedup": (d1_exact_dedup, SQL_D1),
     "e1_embedding_norm": (e1_embedding_norm, SQL_E1),
+    "b1_boilerplate_classify": (b1_boilerplate_classify, SQL_B1),
+    "b2_main_content": (b2_main_content, SQL_B2),
+    "l1_reading_order": (l1_reading_order, SQL_L1),
+    "l2_font_runs": (l2_font_runs, SQL_L2),
     "pipeline_b_extract_spans": (pipeline_b_extract_spans, None),
     "pipeline_a_extract_pdf": (pipeline_a_extract_pdf, None),
 }
