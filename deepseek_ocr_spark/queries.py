@@ -693,6 +693,145 @@ FROM embeddings
 
 
 # ---------------------------------------------------------------------------
+# near-dup dedup + similarity search (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked on (lang, source) —
+    the quadratic baseline that MinHash-LSH approximates."""
+    from .operators.dedup import jaccard_pairs_blocked
+
+    return jaccard_pairs_blocked(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], threshold=0.1
+    )
+
+
+SQL_D2 = r"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok,
+    generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS ord
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.lang, a.source,
+    a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+  ROUND(CAST(i.n_common AS DOUBLE) /
+        CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.1
+"""
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ perturbed copies of every 10th doc (first token
+    replaced) — guarantees near-dup structure for the LSH operators."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("PERTURBED"), F.expr("substring(text, locate(' ', text))")
+        ).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=64) + 16-band LSH near-dup candidate pairs, verified
+    with exact Jaccard ≥ 0.5 — the scale path for 10^12-doc dedup."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs_with_planted_dups(spark, sf_dir), jaccard_threshold=0.5
+    )
+
+
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) via 16-bit chunk blocking."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_with_planted_dups(spark, sf_dir), max_hamming=3)
+
+
+def d5_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.3) blocked on label."""
+    from .operators.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_COS_AB = (
+    f"{_DOT.format(a='a.embedding', b='b.embedding')} / "
+    f"({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})"
+)
+
+SQL_D5 = f"""
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+  ROUND({_COS_AB}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_AB} >= 0.3
+"""
+
+
+def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 20 vectors (ANN
+    correctness baseline)."""
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+SQL_S1 = f"""
+WITH scored AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(b.vec_id AS BIGINT) AS neighbor_id,
+    ROUND({_COS_AB}, 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH bucketing (the scale
+    path; recall vs s1 measured in tests)."""
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# ---------------------------------------------------------------------------
 # boilerplate classification over a synthetic flattened DOM table
 # (north_star: jusText/Readability text-density/link-density heuristics)
 # ---------------------------------------------------------------------------
@@ -1096,6 +1235,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a4_fingerprint": (a4_fingerprint, SQL_A4),
     "d1_exact_dedup": (d1_exact_dedup, SQL_D1),
     "e1_embedding_norm": (e1_embedding_norm, SQL_E1),
+    "d2_ngram_jaccard": (d2_ngram_jaccard, SQL_D2),
+    "d3_minhash_lsh": (d3_minhash_lsh, None),
+    "d4_simhash": (d4_simhash, None),
+    "d5_embedding_dup": (d5_embedding_dup, SQL_D5),
+    "s1_knn_bruteforce": (s1_knn_bruteforce, SQL_S1),
+    "s2_knn_lsh": (s2_knn_lsh, None),
     "b1_boilerplate_classify": (b1_boilerplate_classify, SQL_B1),
     "b2_main_content": (b2_main_content, SQL_B2),
     "l1_reading_order": (l1_reading_order, SQL_L1),
