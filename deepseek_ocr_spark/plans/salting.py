@@ -1,0 +1,57 @@
+"""Skew handling: two-phase salted aggregation and salted repartition
+(north_rule: "explicit salting of skewed hosts/mime-types").
+
+Join skew is left to AQE's skew-join splitting
+(spark.sql.adaptive.skewJoin.enabled, session.py). Aggregation skew over
+hot low-cardinality keys (a Zipf host taking ~46% of a 10^12-doc corpus,
+corpus.py HOST_P) needs this explicit rewrite: phase 1 groups on
+(key, salt) spreading each hot key over `salt` reducers, phase 2 merges
+the partials. Only algebraic aggregates (sum/count/min/max) decompose
+this way — that is exactly the metrics surface of this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+
+def with_salt(df: DataFrame, cols: list[str], buckets: int = DEFAULT_SALT) -> DataFrame:
+    """Deterministic salt column derived from row content (not random —
+    task retries must produce identical salts)."""
+    return df.withColumn("_salt", F.pmod(F.xxhash64(*cols), F.lit(buckets)))
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, Column],
+    salt_cols: list[str],
+    buckets: int = DEFAULT_SALT,
+) -> DataFrame:
+    """GROUP BY keys with SUM/COUNT measures, executed as salt → partial
+    agg → merge. `sums` maps output name → column expression to sum.
+    Adds a `n` count column. Semantics identical to the plain groupBy
+    (verified against the unsalted oracle in the query registry)."""
+    salted = with_salt(df, salt_cols, buckets)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count("*").alias("_n"),
+        *[F.sum(expr).alias(f"_s_{name}") for name, expr in sums.items()],
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        *[F.sum(f"_s_{name}").alias(name) for name in sums],
+    )
+
+
+def repartition_salted(
+    df: DataFrame, key_cols: list[str], partitions: int, buckets: int = DEFAULT_SALT
+) -> DataFrame:
+    """Repartition on (keys, salt) so a hot key spreads over `buckets`
+    tasks — used before per-key-heavy map work, not before joins (a
+    salted join side must replicate the other side per salt)."""
+    return with_salt(df, key_cols, buckets).repartition(
+        partitions, *key_cols, "_salt"
+    )

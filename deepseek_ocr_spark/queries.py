@@ -330,15 +330,17 @@ def q_salted_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, salt) — spreads each hot key over 16 reducers; phase 2 merges
     the 16 partials. Oracle is the plain GROUP BY: salting must be
     semantics-preserving."""
+    from .plans.salting import salted_sum_count
+
     ev = _t(spark, sf_dir, "events")
-    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
-    partial = salted.groupBy("event_type", "_salt").agg(
-        F.count("*").alias("_n"),
-        F.sum(_dec("value", 18, 6)).alias("_v"),
+    out = salted_sum_count(
+        ev,
+        keys=["event_type"],
+        sums={"total_value": _dec("value", 18, 6)},
+        salt_cols=["event_id"],
     )
-    return partial.groupBy("event_type").agg(
-        F.sum("_n").cast("bigint").alias("n"),
-        F.sum("_v").cast("double").alias("total_value"),
+    return out.select(
+        "event_type", "n", F.col("total_value").cast("double").alias("total_value")
     )
 
 
@@ -693,6 +695,105 @@ FROM embeddings
 
 
 # ---------------------------------------------------------------------------
+# tile-grid planner + token budget (P1/P3/P7) and language-ID
+# ---------------------------------------------------------------------------
+
+
+def p1_tile_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio grid selection + closed-form vision-token budget over
+    synthetic page dimensions (width/height pure functions of doc_id)."""
+    from .operators.tiling import plan_grid
+
+    pages = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (320 + F.col("doc_id") % 2560).cast("bigint").alias("width"),
+        (240 + (F.col("doc_id") * 7) % 1920).cast("bigint").alias("height"),
+    )
+    return plan_grid(pages).select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("w_tiles").cast("bigint").alias("w_tiles"),
+        F.col("h_tiles").cast("bigint").alias("h_tiles"),
+        F.col("n_tiles").cast("bigint").alias("n_tiles"),
+        "vision_tokens",
+    )
+
+
+def _grids_values() -> str:
+    from .operators.tiling import CANDIDATE_GRIDS
+
+    return ", ".join(f"({w}, {h})" for (w, h) in CANDIDATE_GRIDS)
+
+
+def _sql_p1() -> str:
+    from .operators.tiling import GLOBAL_TOKENS, IMAGE_SIZE, Q_TILE
+
+    small_tok = (Q_TILE + 1) * Q_TILE + 1
+    return f"""
+WITH pages AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(320 + doc_id % 2560 AS BIGINT) AS width,
+    CAST(240 + (doc_id * 7) % 1920 AS BIGINT) AS height
+  FROM documents
+),
+grids(gw, gh) AS (VALUES {_grids_values()}),
+ranked AS (
+  SELECT p.*, g.gw, g.gh,
+    ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY
+      ABS(CAST(p.width AS DOUBLE) / CAST(p.height AS DOUBLE)
+          - CAST(g.gw AS DOUBLE) / CAST(g.gh AS DOUBLE)) ASC,
+      g.gw * g.gh DESC, g.gw ASC) AS rk
+  FROM pages p CROSS JOIN grids g
+)
+SELECT doc_id, width, height,
+  CAST(CASE WHEN width <= {IMAGE_SIZE} AND height <= {IMAGE_SIZE} THEN 1 ELSE gw END AS BIGINT) AS w_tiles,
+  CAST(CASE WHEN width <= {IMAGE_SIZE} AND height <= {IMAGE_SIZE} THEN 1 ELSE gh END AS BIGINT) AS h_tiles,
+  CAST(CASE WHEN width <= {IMAGE_SIZE} AND height <= {IMAGE_SIZE} THEN 1 ELSE gw * gh END AS BIGINT) AS n_tiles,
+  CAST(CASE WHEN width <= {IMAGE_SIZE} AND height <= {IMAGE_SIZE} THEN {small_tok}
+       ELSE ({Q_TILE} * gw + 1) * ({Q_TILE} * gh) + {GLOBAL_TOKENS} END AS BIGINT) AS vision_tokens
+FROM ranked WHERE rk = 1
+"""
+
+
+def a3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio + non-ASCII fraction
+    (n-gram heuristic class; scoring only — corpus text is synthetic)."""
+    df = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    n_tok = F.size(toks).cast("double")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    ratio = F.round(hits / F.nullif(n_tok, F.lit(0.0)), 6)
+    non_ascii = F.length(F.regexp_replace("text", r"[\x00-\x7F]", ""))
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        ratio.alias("stop_hit_ratio"),
+        non_ascii.cast("bigint").alias("non_ascii_chars"),
+        F.when(non_ascii > 0, "non_latin")
+        .when(ratio >= 0.05, "en_like")
+        .otherwise("unknown")
+        .alias("predicted"),
+    )
+
+
+SQL_A3 = rf"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+  ROUND(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        t -> t IN {_SW})) AS DOUBLE)
+    / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0), 6)
+    AS stop_hit_ratio,
+  CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS BIGINT) AS non_ascii_chars,
+  CASE WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) > 0 THEN 'non_latin'
+       WHEN CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            t -> t IN {_SW})) AS DOUBLE)
+         / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0) >= 0.05
+       THEN 'en_like' ELSE 'unknown' END AS predicted
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # near-dup dedup + similarity search (training-data pipeline ops)
 # ---------------------------------------------------------------------------
 
@@ -829,6 +930,64 @@ def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# ---------------------------------------------------------------------------
+# media-ref back-resolution join (S6 generalization: spans ⋈ media table)
+# ---------------------------------------------------------------------------
+
+
+def m1_media_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join of resolved media spans (x5) with a media
+    metadata table (metadata projection only — bytes never travel);
+    aspect-preserving thumbnail dims computed in the join projection."""
+    spans = x5_media_ref_resolution(spark, sf_dir)
+    d, i = F.col("doc_id"), F.col("idx")
+    meta = spans.select(
+        "doc_id",
+        "idx",
+        F.element_at(
+            F.array(F.lit("image/jpeg"), F.lit("image/png"), F.lit("video/mp4")),
+            ((d + i) % 3 + 1).cast("int"),
+        ).alias("mime"),
+        (64 + (d * 31 + i * 17) % 1920).cast("bigint").alias("width"),
+        (64 + (d * 13 + i * 7) % 1080).cast("bigint").alias("height"),
+    )
+    joined = spans.join(F.broadcast(meta), ["doc_id", "idx"])
+    factor = F.least(
+        F.lit(1.0), F.lit(128.0) / F.greatest("width", "height").cast("double")
+    )
+    return joined.select(
+        "doc_id",
+        "media_ref",
+        "mime",
+        "width",
+        "height",
+        F.floor(F.col("width") * factor).cast("bigint").alias("thumb_w"),
+        F.floor(F.col("height") * factor).cast("bigint").alias("thumb_h"),
+    )
+
+
+SQL_M1 = f"""
+WITH {RAW_DOCS_CTE},
+m AS (SELECT doc_id, len(regexp_extract_all(raw, '{MEDIA_PAT}')) AS n FROM raw_docs),
+spans AS (
+  SELECT CAST(m.doc_id AS BIGINT) AS doc_id, CAST(r.range AS BIGINT) AS idx,
+    'images/0_' || CAST(r.range AS VARCHAR) || '.jpg' AS media_ref
+  FROM m, range(0, 4) r WHERE r.range < m.n
+),
+meta AS (
+  SELECT doc_id, idx,
+    (['image/jpeg','image/png','video/mp4'])[CAST((doc_id + idx) % 3 + 1 AS INT)] AS mime,
+    CAST(64 + (doc_id * 31 + idx * 17) % 1920 AS BIGINT) AS width,
+    CAST(64 + (doc_id * 13 + idx * 7) % 1080 AS BIGINT) AS height
+  FROM spans
+)
+SELECT s.doc_id, s.media_ref, t.mime, t.width, t.height,
+  CAST(FLOOR(t.width * LEAST(1.0, 128.0 / CAST(GREATEST(t.width, t.height) AS DOUBLE))) AS BIGINT) AS thumb_w,
+  CAST(FLOOR(t.height * LEAST(1.0, 128.0 / CAST(GREATEST(t.width, t.height) AS DOUBLE))) AS BIGINT) AS thumb_h
+FROM spans s JOIN meta t ON s.doc_id = t.doc_id AND s.idx = t.idx
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1235,12 +1394,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a4_fingerprint": (a4_fingerprint, SQL_A4),
     "d1_exact_dedup": (d1_exact_dedup, SQL_D1),
     "e1_embedding_norm": (e1_embedding_norm, SQL_E1),
+    "p1_tile_planner": (p1_tile_planner, _sql_p1()),
+    "a3_langid": (a3_langid, SQL_A3),
     "d2_ngram_jaccard": (d2_ngram_jaccard, SQL_D2),
     "d3_minhash_lsh": (d3_minhash_lsh, None),
     "d4_simhash": (d4_simhash, None),
     "d5_embedding_dup": (d5_embedding_dup, SQL_D5),
     "s1_knn_bruteforce": (s1_knn_bruteforce, SQL_S1),
     "s2_knn_lsh": (s2_knn_lsh, None),
+    "m1_media_join": (m1_media_join, SQL_M1),
     "b1_boilerplate_classify": (b1_boilerplate_classify, SQL_B1),
     "b2_main_content": (b2_main_content, SQL_B2),
     "l1_reading_order": (l1_reading_order, SQL_L1),

@@ -1,0 +1,117 @@
+"""Scale-layer tests: salted aggregation equivalence, cost-tiered
+repartitioning, resumable lineage (SURVEY §5 test plan (d)), and
+streaming/batch equivalence of the flagship pipeline."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark import corpus
+from deepseek_ocr_spark.operators.spans_pipeline import extract_spans
+from deepseek_ocr_spark.plans.coalesce import doc_cost, repartition_by_cost
+from deepseek_ocr_spark.plans.lineage import (
+    read_result,
+    run_extract_resumable,
+)
+from deepseek_ocr_spark.plans.salting import salted_sum_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return corpus.spark_documents(spark, seed=42, n_docs=200).cache()
+
+
+def test_salted_agg_equals_plain(spark, docs):
+    """Two-phase salted aggregation must be semantics-preserving over
+    the Zipf-skewed host key."""
+    hosted = docs.withColumn("host", F.split("doc_id", "-")[1]).withColumn(
+        "n_spans", F.size("spans").cast("long")
+    )
+    salted = {
+        (r["host"], r["n"], r["total_spans"])
+        for r in salted_sum_count(
+            hosted,
+            keys=["host"],
+            sums={"total_spans": F.col("n_spans")},
+            salt_cols=["doc_id"],
+        ).collect()
+    }
+    plain = {
+        (r["host"], r["n"], r["total_spans"])
+        for r in hosted.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("n_spans").alias("total_spans"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_cost_tier_repartition_preserves_rows(spark, docs):
+    out = repartition_by_cost(docs, doc_cost("spans"), partitions=8)
+    assert out.count() == docs.count()
+    # tiers are coarse: a handful of distinct values
+    n_tiers = out.select("_tier").distinct().count()
+    assert 1 <= n_tiers <= 16
+    # extraction result unaffected by the repartitioning
+    a = {r["doc_id"]: r["blocks_kept"] for r in extract_spans(docs).collect()}
+    b = {
+        r["doc_id"]: r["blocks_kept"]
+        for r in extract_spans(out.drop("_tier")).collect()
+    }
+    assert a == b
+
+
+def test_resume_after_simulated_crash(spark, docs):
+    out_dir = tempfile.mkdtemp(prefix="lineage_")
+    try:
+        # first run dies after committing 5 of 16 slices
+        r1 = run_extract_resumable(spark, docs, out_dir, fail_after_slices=5)
+        assert r1["slices_committed_now"] == 5
+        # rerun resumes from lineage, completes the rest
+        r2 = run_extract_resumable(spark, docs, out_dir)
+        assert r2["resumed"] and r2["slices_previously_done"] == 5
+        assert r2["slices_committed_now"] == 11
+        # result identical to a straight batch run: no loss, no dupes
+        resumed = {
+            r["doc_id"]: r["blocks_kept"] for r in read_result(spark, out_dir).collect()
+        }
+        direct = {
+            r["doc_id"]: r["blocks_kept"] for r in extract_spans(docs).collect()
+        }
+        assert resumed == direct
+        # third run is a no-op
+        r3 = run_extract_resumable(spark, docs, out_dir)
+        assert r3["slices_committed_now"] == 0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_streaming_equals_batch(spark, docs):
+    from deepseek_ocr_spark.streaming.stream_extract import run_available_now
+
+    in_dir = tempfile.mkdtemp(prefix="stream_in_")
+    out_dir = tempfile.mkdtemp(prefix="stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        docs.write.mode("overwrite").parquet(in_dir)
+        run_available_now(spark, in_dir, out_dir, ckpt)
+        streamed = {
+            r["doc_id"]: [
+                (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+            ]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        batch = {
+            r["doc_id"]: [
+                (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+            ]
+            for r in extract_spans(spark.read.parquet(in_dir)).collect()
+        }
+        assert streamed == batch
+    finally:
+        for d in (in_dir, out_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
