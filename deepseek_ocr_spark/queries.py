@@ -695,6 +695,84 @@ FROM embeddings
 
 
 # ---------------------------------------------------------------------------
+# T3 formula cleaner, T6 span search
+# ---------------------------------------------------------------------------
+
+
+def t3_formula_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: inside \\[...\\] formula blocks, drop \\quad(...) annotations
+    and trim (run_dpsk_ocr_eval_batch.py:53-68). JVM regex chain; the
+    faithful function-valued-replacement UDF is equivalence-tested in
+    tests/."""
+    from .operators.textnorm import clean_formula_expr
+
+    d = F.col("doc_id")
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "with_formula",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 2 == 0, F.lit(" \\[ E = mc^2 \\quad (4) \\]")
+            ).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" \\[  x + y \\quad (12)  \\]")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return df.select(
+        d.cast("bigint").alias("doc_id"),
+        clean_formula_expr(F.col("with_formula")).alias("cleaned"),
+    )
+
+
+SQL_T3 = r"""
+WITH wf AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 2 = 0 THEN ' \[ E = mc^2 \quad (4) \]' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' \[  x + y \quad (12)  \]' ELSE '' END
+    AS with_formula
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  regexp_replace(
+    regexp_replace(with_formula, '\\quad\s*\([^)]*\)', '', 'g'),
+    '(?s)\\\[\s*(.*?)\s*\\\]', '\\[\1\\]', 'g') AS cleaned
+FROM wf
+"""
+
+
+def t6_locate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 'Locate <|ref|>...<|/ref|>' prompt semantics: span search —
+    filter grounding spans by label, return their det payloads
+    (config.py:27-36 locate prompt → filter on span arrays)."""
+    df = _raw(spark, sf_dir)
+    labels = F.regexp_extract_all("raw", F.lit(REF_PAT), 1)
+    dets = F.regexp_extract_all("raw", F.lit(REF_PAT), 2)
+    hits = F.filter(
+        F.zip_with(
+            labels, dets, lambda l, d: F.struct(l.alias("l"), d.alias("d"))
+        ),
+        lambda s: s["l"] == "title",
+    )
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(F.transform(hits, lambda s: s["d"])).alias("det"),
+    )
+
+
+SQL_T6 = f"""
+WITH {RAW_DOCS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  unnest(list_transform(
+    list_filter(list_zip(regexp_extract_all(raw, '{REF_PAT}', 1),
+                         regexp_extract_all(raw, '{REF_PAT}', 2)),
+                s -> s[1] = 'title'),
+    s -> s[2])) AS det
+FROM raw_docs
+"""
+
+
+# ---------------------------------------------------------------------------
 # tile-grid planner + token budget (P1/P3/P7) and language-ID
 # ---------------------------------------------------------------------------
 
@@ -753,6 +831,48 @@ SELECT doc_id, width, height,
   CAST(CASE WHEN width <= {IMAGE_SIZE} AND height <= {IMAGE_SIZE} THEN {small_tok}
        ELSE ({Q_TILE} * gw + 1) * ({Q_TILE} * gh) + {GLOBAL_TOKENS} END AS BIGINT) AS vision_tokens
 FROM ranked WHERE rk = 1
+"""
+
+
+def p2_dynamic_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 dynamic tiling: resize page to (640·w, 640·h), emit one row
+    per crop tile in row-major order with its pixel box
+    (image_process.py:45-83 dynamic_preprocess) — the partitioned-scan-
+    with-deterministic-split-points analogue."""
+    from .operators.tiling import IMAGE_SIZE
+
+    planned = p1_tile_planner(spark, sf_dir)
+    tiles = planned.select(
+        "doc_id",
+        "w_tiles",
+        "h_tiles",
+        F.posexplode(
+            F.sequence(F.lit(0), (F.col("n_tiles") - 1).cast("int"))
+        ).alias("tile_id", "_t"),
+    )
+    i = (F.col("tile_id") % F.col("w_tiles")).cast("bigint")
+    j = F.floor(F.col("tile_id") / F.col("w_tiles")).cast("bigint")
+    return tiles.select(
+        "doc_id",
+        F.col("tile_id").cast("bigint").alias("tile_id"),
+        (i * IMAGE_SIZE).alias("tx1"),
+        (j * IMAGE_SIZE).alias("ty1"),
+        ((i + 1) * IMAGE_SIZE).alias("tx2"),
+        ((j + 1) * IMAGE_SIZE).alias("ty2"),
+    )
+
+
+def _sql_p2() -> str:
+    from .operators.tiling import IMAGE_SIZE
+
+    return f"""
+WITH p1 AS ({_sql_p1()})
+SELECT doc_id, CAST(r.range AS BIGINT) AS tile_id,
+  CAST((r.range % w_tiles) * {IMAGE_SIZE} AS BIGINT) AS tx1,
+  CAST((r.range // w_tiles) * {IMAGE_SIZE} AS BIGINT) AS ty1,
+  CAST((r.range % w_tiles + 1) * {IMAGE_SIZE} AS BIGINT) AS tx2,
+  CAST((r.range // w_tiles + 1) * {IMAGE_SIZE} AS BIGINT) AS ty2
+FROM p1, range(0, 7) r WHERE r.range < n_tiles
 """
 
 
@@ -1394,7 +1514,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a4_fingerprint": (a4_fingerprint, SQL_A4),
     "d1_exact_dedup": (d1_exact_dedup, SQL_D1),
     "e1_embedding_norm": (e1_embedding_norm, SQL_E1),
+    "t3_formula_clean": (t3_formula_clean, SQL_T3),
+    "t6_locate_spans": (t6_locate_spans, SQL_T6),
     "p1_tile_planner": (p1_tile_planner, _sql_p1()),
+    "p2_dynamic_tiling": (p2_dynamic_tiling, _sql_p2()),
     "a3_langid": (a3_langid, SQL_A3),
     "d2_ngram_jaccard": (d2_ngram_jaccard, SQL_D2),
     "d3_minhash_lsh": (d3_minhash_lsh, None),
