@@ -22,6 +22,7 @@ from deepseek_ocr_spark import queries as Q
 from deepseek_ocr_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+STRICT = os.environ.get("STRICT_FLOATS", "1") == "1"
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -31,6 +32,8 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if STRICT:
+            return repr(v)  # exact: surfaces any cross-engine ulp diff
         return repr(round(v, 9))
     if isinstance(v, datetime.datetime):
         return v.isoformat()

@@ -1,0 +1,48 @@
+"""Regenerate the physical-plan extracts reviewed in PLANS.md."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark import queries as Q
+from deepseek_ocr_spark.operators.spans_pipeline import extract_spans
+from deepseek_ocr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    spark = get_spark(parallelism=8)
+    docs = Q._t(spark, SF_DIR, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    sections = {
+        "PIPELINE B (extract_spans)": extract_spans(docs),
+        "PIPELINE A (pages)": Q.pipeline_a_extract_pdf(spark, SF_DIR),
+        "BROADCAST JOIN (part_type_revenue)": Q.q_join_part_type_revenue(
+            spark, SF_DIR
+        ),
+        "PUSHDOWN (filter+project documents)": Q._t(spark, SF_DIR, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars"),
+        "X5 (media resolution)": Q.x5_media_ref_resolution(spark, SF_DIR),
+        "SALTED AGG": Q.q_salted_event_agg(spark, SF_DIR),
+    }
+    for name, df in sections.items():
+        print("=" * 30, name)
+        df.explain("formatted")
+
+
+if __name__ == "__main__":
+    main()
