@@ -876,6 +876,42 @@ FROM p1, range(0, 7) r WHERE r.range < n_tiles
 """
 
 
+def p5_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 tensor normalize ((x/255 − mean)/std, mean=std=0.5 —
+    image_process.py:89-108) applied element-wise to the embedding array
+    via transform(); emits leading components + sequential-fold sum."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.transform(
+        "embedding",
+        lambda x: (x.cast("double") / 255.0 - 0.5) / 0.5,
+    )
+    df = emb.withColumn("_n", norm)
+    return df.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        *[F.round(F.col("_n")[i], 6).alias(f"n{i}") for i in range(4)],
+        F.round(
+            F.aggregate(
+                "_n", F.lit(0.0).cast("double"), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("norm_sum"),
+    )
+
+
+SQL_P5 = """
+WITH n AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> (CAST(x AS DOUBLE) / 255.0 - 0.5) / 0.5) AS nv
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+  ROUND(nv[1], 6) AS n0, ROUND(nv[2], 6) AS n1,
+  ROUND(nv[3], 6) AS n2, ROUND(nv[4], 6) AS n3,
+  ROUND(list_sum(nv), 6) AS norm_sum
+FROM n
+"""
+
+
 def a3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: stopword-hit ratio + non-ASCII fraction
     (n-gram heuristic class; scoring only — corpus text is synthetic)."""
@@ -1518,6 +1554,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "t6_locate_spans": (t6_locate_spans, SQL_T6),
     "p1_tile_planner": (p1_tile_planner, _sql_p1()),
     "p2_dynamic_tiling": (p2_dynamic_tiling, _sql_p2()),
+    "p5_normalize": (p5_normalize, SQL_P5),
     "a3_langid": (a3_langid, SQL_A3),
     "d2_ngram_jaccard": (d2_ngram_jaccard, SQL_D2),
     "d3_minhash_lsh": (d3_minhash_lsh, None),
