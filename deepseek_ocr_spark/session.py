@@ -51,7 +51,24 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        # Measured JVM hygiene (see BENCH.md "JVM notes"):
+        # - 1g code cache + flushing: the extraction expression trees
+        #   generate very large codegen classes; the default 240m cache
+        #   fills after a few distinct plans, silently disabling the JIT
+        #   (2-25x slowdowns).
+        # - fixed pre-touched heap + throughput GC: a growing/shrinking
+        #   heap spends whole cores in kernel page-fault storms at 32
+        #   threads (observed sys-time 9x user-time); -Xms=-Xmx +
+        #   AlwaysPreTouch commits pages once.
+        # On a cluster the same flags go in executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-XX:+UseParallelGC -Xms"
+            + os.environ.get("SPARK_DRIVER_MEMORY", "12g")
+            + " -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
