@@ -137,10 +137,13 @@ def extract_spans(documents: DataFrame, media_prefix: str = "images/") -> DataFr
     )
     df = df.withColumn("_r", rewritten)
     # boilerplate / empty drop, then dense re-offset
+    # whitespace-only drop must match Python str.strip() semantics
+    # (all whitespace, not just spaces): keep iff any non-ws char.
+    # (?U) makes Java \S unicode-aware like Python's.
     kept = F.filter(
         "_r",
         lambda s: (s["kind"] == "media")
-        | (~s["kind"].isin(*BOILER_KINDS) & (F.trim(s["text"]) != "")),
+        | (~s["kind"].isin(*BOILER_KINDS) & s["text"].rlike(r"(?U)\S")),
     )
     final = F.transform(
         kept,

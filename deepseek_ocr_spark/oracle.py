@@ -151,7 +151,7 @@ def oracle_spans_doc(spans: list[dict]) -> dict:
         text = REF_RE.sub("", text)
         text = _normalize(text)
         text = _collapse_repeats(text)
-        if text.strip() == "":
+        if re.search(r"\S", text) is None:  # whitespace-only (unicode)
             blocks_dropped += 1
             continue
         out.append({"kind": kind, "text": text, "media_ref": None})
