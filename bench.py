@@ -46,6 +46,11 @@ HEADLINE = [
     "q_window_running_sum",
     "q_salted_event_agg",
     "d1_exact_dedup",
+    "d3_minhash_lsh",
+    "d4_simhash",
+    "b2_main_content",
+    "l2_font_runs",
+    "s1_knn_bruteforce",
     "a4_fingerprint",
     "e1_embedding_norm",
 ]
