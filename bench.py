@@ -95,9 +95,7 @@ def _bench_extraction(spark, docs_path: str) -> tuple[float, int]:
 
 def _scale_worker(cores: int, docs_path: str) -> None:
     """Subprocess entry: time the flagship extraction at local[cores]
-    (fresh JVM), median of 3 after warmup; prints one JSON line."""
-    import statistics
-
+    (fresh JVM), best of 4 after warmup; prints one JSON line."""
     from deepseek_ocr_spark.session import get_spark
 
     s = get_spark(parallelism=cores, app_name=f"bench-scale-{cores}")
@@ -168,8 +166,6 @@ def main() -> None:
         # (a 3s run at 32 cores hides 15% constant cost -> apparent
         # sublinear scaling); 400k docs x 256 files puts the 32-core run
         # at ~7s and yields equal per-core throughput.
-        import statistics
-
         scale_docs = max(N_DOCS * 20, 400_000)
         scale_p = _corpus_path("documents", scale_docs)
         if not os.path.exists(scale_p):

@@ -3,7 +3,6 @@ arrays, null/blank/unicode/metacharacter texts, sparse offsets — each
 compared against the pure-Python oracle (or asserted non-crashing where
 the oracle's domain doesn't define the input)."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from deepseek_ocr_spark import oracle
