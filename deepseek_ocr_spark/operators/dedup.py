@@ -238,12 +238,13 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) <= max_hamming, candidates
     blocked on equality of one of SIMHASH_CHUNKS 16-bit chunks."""
     chunk = SIMHASH_BITS // SIMHASH_CHUNKS
+    # same shuffle discipline as minhash_lsh_pairs: buckets carry doc_ids
+    # only; signatures join back for the (rare) candidate pairs.
     sig = docs.select(
         F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("bits")
-    )
+    ).persist()
     chunks = sig.select(
         "doc_id",
-        "bits",
         F.posexplode(
             F.array(
                 *[
@@ -260,9 +261,7 @@ def simhash_pairs(
     )
     buckets = chunks.groupBy("chunk", "chunk_sig").agg(
         F.slice(
-            F.array_sort(F.collect_list(F.struct("doc_id", "bits"))),
-            1,
-            LSH_BUCKET_CAP,
+            F.array_sort(F.collect_list("doc_id")), 1, LSH_BUCKET_CAP
         ).alias("members")
     )
     pairs = (
@@ -279,10 +278,7 @@ def simhash_pairs(
                                 F.greatest(F.size("members") - i - 1, F.lit(0)),
                             ),
                             lambda b: F.struct(
-                                a["doc_id"].alias("doc_a"),
-                                b["doc_id"].alias("doc_b"),
-                                a["bits"].alias("bits_a"),
-                                b["bits"].alias("bits_b"),
+                                a.alias("doc_a"), b.alias("doc_b")
                             ),
                         ),
                     )
@@ -292,13 +288,19 @@ def simhash_pairs(
         .select("p.*")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    joined = (
+        sig.join(F.broadcast(pairs), sig.doc_id == pairs.doc_a)
+        .select("doc_a", "doc_b", F.col("bits").alias("bits_a"))
+        .join(sig, F.col("doc_b") == sig.doc_id)
+        .select("doc_a", "doc_b", "bits_a", F.col("bits").alias("bits_b"))
+    )
     hamming = F.aggregate(
         F.zip_with("bits_a", "bits_b", lambda a, b: (a != b).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     )
     return (
-        pairs.withColumn("hamming", hamming.cast("bigint"))
+        joined.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

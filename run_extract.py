@@ -1,0 +1,57 @@
+"""CLI entry point for spark-submit (the engine's run_dpsk_ocr_*.py):
+
+    spark-submit --py-files dist/deepseek_ocr_spark.zip run_extract.py \
+        --input <documents-or-pages parquet> --output <dir> \
+        --job spans|pages|locate [--label title] [--no-resume] \
+        [--partitions N]
+
+Local run: python run_extract.py --input ... --output ... --job spans
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=False)
+    ap.add_argument("--job", choices=["spans", "pages", "locate"], default="spans")
+    ap.add_argument("--label", default="title", help="span kind for --job locate")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from deepseek_ocr_spark import jobs
+    from deepseek_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name=f"extract-{args.job}")
+    if args.job == "spans":
+        if not args.output:
+            ap.error("--output required for --job spans")
+        stats = jobs.run_spans_job(
+            spark,
+            args.input,
+            args.output,
+            resume=not args.no_resume,
+            partitions=args.partitions,
+        )
+        print(json.dumps(stats))
+    elif args.job == "pages":
+        if not args.output:
+            ap.error("--output required for --job pages")
+        docs = jobs.run_pages_job(spark, args.input, args.output)
+        print(json.dumps({"docs": docs.count()}))
+    else:
+        out = jobs.locate_job(spark, args.input, args.label)
+        for r in out.limit(20).collect():
+            print(json.dumps(r.asDict()))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
