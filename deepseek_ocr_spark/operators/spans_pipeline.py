@@ -57,8 +57,15 @@ def _clean_text_expr(t: Column) -> Column:
     return F.regexp_replace(t, r"\n{3,}", "\n\n")
 
 
-def extract_spans(documents: DataFrame, media_prefix: str = "images/") -> DataFrame:
+def extract_spans(
+    documents: DataFrame,
+    media_prefix: str = "images/",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """documents(doc_id, spans) → (doc_id, spans, metrics columns).
+    `passthrough` columns are carried to the output unchanged (e.g.
+    ingest timestamps or partition keys — keeps streaming callers from
+    needing a stream-stream self-join).
 
     Zero-shuffle: all logic is array-local. Media idx for a media span =
     count of media spans with smaller offset (O(k²) per doc in codegen,
@@ -158,6 +165,7 @@ def extract_spans(documents: DataFrame, media_prefix: str = "images/") -> DataFr
         df.withColumn("spans_out", final)
         .select(
             "doc_id",
+            *passthrough,
             F.col("spans_out").alias("spans"),
             "parse_failures",
             F.size(F.filter("spans_out", lambda s: s["kind"] == "media"))
