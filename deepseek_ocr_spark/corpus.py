@@ -71,10 +71,22 @@ def _make_fragment(rng: np.random.Generator) -> tuple[str, str]:
         if kind == "formula":
             body = f"\\[ E \\coloneqq mc^2 \\quad ({int(rng.integers(1, 9))}) \\]"
         return kind, _grounding(kind, _bbox(rng)) + body
-    if roll < 0.40:
+    if roll < 0.38:
         # malformed det payload — eval() fails, span still stripped,
         # parse_failures increments (run_dpsk_ocr_pdf.py:138-148)
         return "text", _grounding("text", "[[12, 34") + _sentence(rng, 4)
+    if roll < 0.40:
+        # adversarial det payloads: python-literal-but-not-box, empty
+        # list, multiline box, 3-int box, unclosed ref fragment
+        adv = [
+            "(1, 2)",
+            "[]",
+            "[[1,2,\n3,4]]",
+            "[[9,9,9]]",
+        ]
+        det = adv[int(rng.integers(0, len(adv)))]
+        extra = "<|ref|>dangling" if rng.random() < 0.3 else ""
+        return "text", _grounding("text", det) + _sentence(rng, 3) + extra
     if roll < 0.46:
         kind = BOILER_KINDS[int(rng.integers(0, 2))]
         return kind, _grounding(kind, _bbox(rng)) + "| home | about | contact |"

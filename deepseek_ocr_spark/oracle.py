@@ -20,6 +20,7 @@ import ast
 import re
 
 REF_RE = re.compile(r"(<\|ref\|>(.*?)<\|/ref\|><\|det\|>(.*?)<\|/det\|>)", re.DOTALL)
+DET_OK_RE = re.compile(r"^\s*\[\s*(\[\s*\d+\s*(,\s*\d+\s*){3}\]\s*,?\s*)+\]\s*$")
 EOS = "<｜end▁of▁sentence｜>"
 PAGE_SPLIT = "\n<--- Page Split --->"
 MEDIA_MD_RE = re.compile(r"!\[\]\((images/[0-9_]+\.jpg)\)\n")
@@ -136,9 +137,13 @@ def oracle_spans_doc(spans: list[dict]) -> dict:
     for s in sorted(spans, key=lambda s: s["offset"]):
         kind, text = s["kind"], s["text"] or ""
         for m in REF_RE.finditer(text):
-            try:
-                ast.literal_eval(m.group(3))
-            except Exception:
+            # span-pipeline semantics: a well-formed det is a bracketed
+            # list of 4-int boxes (DET_OK). Deliberate deviation from the
+            # reference's eval() (run_dpsk_ocr_pdf.py:143), which accepts
+            # any Python literal — an artifact of eval, not a contract;
+            # pipeline A (oracle_pdf_doc) keeps the faithful
+            # literal_eval because its engine side is a Python UDF.
+            if DET_OK_RE.search(m.group(3)) is None:
                 parse_failures += 1
         if kind == "image":
             ref = f"images/{media_idx}.jpg"

@@ -324,6 +324,43 @@ WHERE o_orderpriority = '5-LOW'
 """
 
 
+def q_join3_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join: lineitem ⋈ supplier ⋈ nation ⋈ region
+    — a chain of broadcast dims over the fact table (Catalyst reorders;
+    no fact-table shuffle until the final 5-group aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+SQL_JOIN3 = """
+SELECT r_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_salted_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over a skewed low-cardinality key
     (north_rule: explicit salting of skewed keys). Phase 1 groups on
@@ -1536,6 +1573,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_topk_events": (q_topk_events, SQL_TOPK_EVENTS),
     "q_distinct_daily_users": (q_distinct_daily_users, SQL_DAILY_USERS),
     "q_setop_urgent_not_low": (q_setop_urgent_not_low, SQL_URGENT_NOT_LOW),
+    "q_join3_region_revenue": (q_join3_region_revenue, SQL_JOIN3),
     "q_salted_event_agg": (q_salted_event_agg, SQL_EVENT_AGG),
     "x1_grounding_scan": (x1_grounding_scan, SQL_X1),
     "x2_span_classify": (x2_span_classify, SQL_X2),

@@ -86,6 +86,32 @@ def test_pipeline_b_matches_oracle(spark, fixture_docs):
             assert g[k] == m[k], (doc_id, k, g[k], m[k])
 
 
+@pytest.mark.parametrize("seed", [7, 202, 9001])
+def test_pipeline_b_other_seeds(spark, seed):
+    """Golden equality must hold for any corpus seed, not just the
+    canonical 42 (adversarial det payloads, dangling refs, etc. are all
+    seed-dependent draws)."""
+    docs = [corpus.gen_doc(seed, i) for i in range(60)]
+    df = spark.createDataFrame(
+        [
+            (doc_id, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
+            for doc_id, spans, _ in docs
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {r["doc_id"]: r for r in extract_spans(df).collect()}
+    for doc_id, spans, _ in docs:
+        expect = oracle.oracle_spans_doc(spans)
+        g = got[doc_id]
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]
+        ] == [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in expect["spans"]
+        ], doc_id
+        assert g["parse_failures"] == expect["metrics"]["parse_failures"], doc_id
+
+
 def test_determinism(spark, fixture_docs):
     """Same input twice ⇒ identical spans (SURVEY §5 test plan (c))."""
     doc_id, spans, _ = fixture_docs[0]
