@@ -261,6 +261,33 @@ FROM events
 """
 
 
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window functions: per-user inter-event gap (seconds) and
+    next event type — the session-analysis primitive."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.floor(
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(prev_ts.cast("timestamp"))) / F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("gap_sec"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+SQL_LAG_DELTA = """
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+  CAST(FLOOR((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0) AS BIGINT) AS gap_sec,
+  lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global deterministic top-k (sort + limit; ties broken by id).
     At scale: per-partition top-k then merge — Spark's TakeOrderedAndProject
@@ -1570,6 +1597,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_join_part_type_revenue": (q_join_part_type_revenue, SQL_PART_TYPE_REVENUE),
     "q_semijoin_order_priority": (q_semijoin_order_priority, SQL_ORDER_PRIORITY),
     "q_window_running_sum": (q_window_running_sum, SQL_RUNNING_SUM),
+    "q_window_lag_delta": (q_window_lag_delta, SQL_LAG_DELTA),
     "q_topk_events": (q_topk_events, SQL_TOPK_EVENTS),
     "q_distinct_daily_users": (q_distinct_daily_users, SQL_DAILY_USERS),
     "q_setop_urgent_not_low": (q_setop_urgent_not_low, SQL_URGENT_NOT_LOW),
