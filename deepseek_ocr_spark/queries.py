@@ -653,13 +653,24 @@ def a1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(r"[a-z0-9]+"), 0))
         .cast("bigint")
         .alias("word_tokens"),
+        # BPE-ish segmentation: leading-space word pieces, digit runs,
+        # punctuation runs, whitespace runs (GPT-2 pattern family,
+        # RE2/Java-portable subset)
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"), 0
+            )
+        )
+        .cast("bigint")
+        .alias("bpe_tokens"),
     )
 
 
 SQL_A1 = r"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens
+  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
 
