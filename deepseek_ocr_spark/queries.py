@@ -1163,6 +1163,41 @@ def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+def m2_metrics_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-metrics export as JSON (§2.7: 'we add to_json only
+    for metrics'): per-source rollup of the raw-doc corpus serialized
+    for the metrics sink."""
+    df = _raw(spark, sf_dir)
+    per_source = df.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("docs"),
+        F.sum(F.size(F.regexp_extract_all("raw", F.lit(REF_PAT), 0)))
+        .cast("bigint")
+        .alias("grounding_spans"),
+        F.sum(F.length("raw")).cast("bigint").alias("chars"),
+    )
+    return per_source.select(
+        "source",
+        F.to_json(F.struct("source", "docs", "grounding_spans", "chars")).alias(
+            "metrics_json"
+        ),
+    )
+
+
+SQL_M2 = f"""
+WITH {RAW_DOCS_CTE},
+per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+    CAST(SUM(len(regexp_extract_all(raw, '{REF_PAT}'))) AS BIGINT) AS grounding_spans,
+    CAST(SUM(length(raw)) AS BIGINT) AS chars
+  FROM raw_docs GROUP BY source
+)
+SELECT source,
+  to_json(struct_pack(source := source, docs := docs,
+          grounding_spans := grounding_spans, chars := chars)) AS metrics_json
+FROM per_source
+"""
+
+
 # ---------------------------------------------------------------------------
 # media-ref back-resolution join (S6 generalization: spans ⋈ media table)
 # ---------------------------------------------------------------------------
@@ -1640,6 +1675,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "s1_knn_bruteforce": (s1_knn_bruteforce, SQL_S1),
     "s2_knn_lsh": (s2_knn_lsh, None),
     "m1_media_join": (m1_media_join, SQL_M1),
+    "m2_metrics_json": (m2_metrics_json, SQL_M2),
     "b1_boilerplate_classify": (b1_boilerplate_classify, SQL_B1),
     "b2_main_content": (b2_main_content, SQL_B2),
     "l1_reading_order": (l1_reading_order, SQL_L1),
