@@ -139,6 +139,94 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (pyspark.ml)
+    assigns every vector to a cell; a query probes only its n_probe
+    nearest cells. The index-build is one MLlib fit (sampled at scale);
+    search cost drops from O(N) to O(N·n_probe/n_cells) per query.
+
+    Centroids are collected to the driver (n_cells × dim floats — tiny)
+    and inlined as literals, so cell assignment of queries is pure
+    column arithmetic; no model object ships to executors at query time.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def cell_distances(vec: Column) -> Column:
+        """Array of squared L2 distances to each centroid (literal)."""
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+                for c in centroids
+            ]
+        )
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        d = cell_distances(vec)
+        ranked = F.array_sort(
+            F.zip_with(
+                d,
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda dist, i: F.struct(dist.alias("d"), i.alias("cell")),
+            )
+        )
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        nearest_cells(F.col(vec_col), 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    scored = v.join(F.broadcast(q), on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            "sim",
+            "rank",
+        )
+    )
+
+
 def embedding_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -1154,6 +1154,15 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def s3_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF (k-means coarse quantizer, 2-probe) —
+    the index-based scale path; recall vs s1 measured in tests."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
 def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH bucketing (the scale
     path; recall vs s1 measured in tests)."""
@@ -1674,6 +1683,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d5_embedding_dup": (d5_embedding_dup, SQL_D5),
     "s1_knn_bruteforce": (s1_knn_bruteforce, SQL_S1),
     "s2_knn_lsh": (s2_knn_lsh, None),
+    "s3_knn_ivf": (s3_knn_ivf, None),
     "m1_media_join": (m1_media_join, SQL_M1),
     "m2_metrics_json": (m2_metrics_json, SQL_M2),
     "b1_boilerplate_classify": (b1_boilerplate_classify, SQL_B1),

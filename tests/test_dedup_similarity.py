@@ -115,3 +115,21 @@ def test_lsh_topk_recall(spark, clustered_vecs):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_ivf_topk_recall(spark, clustered_vecs):
+    """IVF with cells ≈ clusters: in-cluster neighbors stay in the
+    probed cells → high recall vs brute force."""
+    from deepseek_ocr_spark.operators.similarity import ivf_topk
+
+    q = clustered_vecs.filter(F.col("vec_id").isin(0, 10, 20))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(clustered_vecs, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(clustered_vecs, q, k=3, n_cells=5, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
