@@ -351,6 +351,28 @@ WHERE o_orderpriority = '5-LOW'
 """
 
 
+def q_setop_both_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: customers who placed both URGENT and LOW
+    orders."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").cast("bigint").alias("custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").cast("bigint").alias("custkey")
+    )
+    return urgent.intersect(low)
+
+
+SQL_BOTH_PRIORITIES = """
+SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+WHERE o_orderpriority = '5-LOW'
+"""
+
+
 def q_join3_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped multi-join: lineitem ⋈ supplier ⋈ nation ⋈ region
     — a chain of broadcast dims over the fact table (Catalyst reorders;
@@ -1656,6 +1678,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_topk_events": (q_topk_events, SQL_TOPK_EVENTS),
     "q_distinct_daily_users": (q_distinct_daily_users, SQL_DAILY_USERS),
     "q_setop_urgent_not_low": (q_setop_urgent_not_low, SQL_URGENT_NOT_LOW),
+    "q_setop_both_priorities": (q_setop_both_priorities, SQL_BOTH_PRIORITIES),
     "q_join3_region_revenue": (q_join3_region_revenue, SQL_JOIN3),
     "q_salted_event_agg": (q_salted_event_agg, SQL_EVENT_AGG),
     "x1_grounding_scan": (x1_grounding_scan, SQL_X1),

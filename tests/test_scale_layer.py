@@ -115,3 +115,20 @@ def test_streaming_equals_batch(spark, docs):
     finally:
         for d in (in_dir, out_dir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_repartition_salted_spreads_hot_key(spark, docs):
+    from deepseek_ocr_spark.plans.salting import repartition_salted
+
+    hosted = docs.withColumn("host", F.split("doc_id", "-")[1])
+    # plain repartition on the Zipf host key: hot host -> one partition
+    plain = hosted.repartition(16, "host")
+    salted = repartition_salted(hosted, ["doc_id"], 16)
+    assert salted.count() == hosted.count()
+
+    def max_partition(df):
+        sizes = df.rdd.glom().map(len).collect()
+        return max(sizes)
+
+    # the hot host (~46% of docs) must not all land in one task
+    assert max_partition(salted) < max_partition(plain)
