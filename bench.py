@@ -48,9 +48,13 @@ HEADLINE = [
     "d1_exact_dedup",
     "d3_minhash_lsh",
     "d4_simhash",
+    "d5_embedding_dup",
+    "f1_ngram_ban",
     "b2_main_content",
     "l2_font_runs",
     "s1_knn_bruteforce",
+    "s2_knn_lsh",
+    "s3_knn_ivf",
     "a4_fingerprint",
     "e1_embedding_norm",
 ]

@@ -11,8 +11,13 @@ deterministic across partitionings) — no Python in any hot path.
   groups on (band, sig) — shuffle volume is 16 small rows/doc,
   independent of doc size. Identical-doc clusters make hot buckets;
   bucket size is capped (LSH_BUCKET_CAP) before pairing, which bounds
-  the quadratic pair fan-out (standard practice; cap loss is logged
-  via the `truncated` flag rather than silently dropped).
+  the quadratic pair fan-out (standard practice; truncation is
+  observable via ``lsh_bucket_stats`` — run it when cap loss matters).
+
+Caching note: the pair operators ``persist()`` their signature table
+(it feeds the band branch plus two verify probes). The cache lives
+until the session drops it; long-lived sessions invoking these
+repeatedly should ``spark.catalog.clearCache()`` between corpora.
 - SimHash: 64-bit signature from per-bit majority vote of token
   hashes; near-dup candidates share one of 4 16-bit chunks
   (Hamming ≤ 3 ⇒ at least one chunk equal by pigeonhole when the 3
@@ -20,6 +25,8 @@ deterministic across partitionings) — no Python in any hot path.
 """
 
 from __future__ import annotations
+
+import random as _random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -30,6 +37,28 @@ LSH_ROWS = 4  # MINHASH_K / LSH_BANDS
 LSH_BUCKET_CAP = 64
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4
+
+# --- portable (cross-engine) hash family -----------------------------------
+# H(s) = int value of the first 7 hex digits of md5(s) — computable
+# identically in Spark (conv(substr(md5, 1, 7), 16, 10)) and DuckDB
+# (('0x' || substr(md5, 1, 7))::BIGINT): 28 bits, always non-negative.
+# Derived hash functions are affine permutations mod the Mersenne prime
+# 2^31-1 with fixed literal coefficients, so products stay < 2^59 (no
+# ANSI overflow) and every step is ANSI-SQL — the whole minhash/simhash
+# pipeline becomes DuckDB-oracle-checkable end to end. xxhash64 remains
+# the fast path (hash_mode="fast"); banding/bucketing/verify are shared.
+MH_PRIME = 2147483647  # 2^31 - 1
+BAND_M = 1_000_003  # band-signature fold multiplier
+_rnd = _random.Random(0xD5EED)
+MH_A = [_rnd.randrange(1, MH_PRIME) for _ in range(MINHASH_K)]
+MH_B = [_rnd.randrange(0, MH_PRIME) for _ in range(MINHASH_K)]
+SH_A = [_rnd.randrange(1, MH_PRIME) for _ in range(SIMHASH_BITS)]
+SH_B = [_rnd.randrange(0, MH_PRIME) for _ in range(SIMHASH_BITS)]
+
+
+def portable_hash(s: Column) -> Column:
+    """28-bit md5-prefix hash, byte-identical between Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
 
 
 def tokens(text: Column) -> Column:
@@ -121,52 +150,40 @@ def minhash_signature(text: Column, k: int = MINHASH_K) -> Column:
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    jaccard_threshold: float = 0.5,
-) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
-
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
-    jaccard >= jaccard_threshold.
-
-    Shuffle discipline (the 100 TB shape): the band explosion ships
-    (doc_id, band_sig) only — 16 fixed-width rows per doc, never the
-    shingle sets. Candidate pairs (rare) are then verified by joining
-    the shingle table back, with the pair list broadcast to both probe
-    joins, so document content crosses the wire at most once.
-    """
-    # The DAG references this three ways (band branch + two verify
-    # probes); cache so shingling runs once. At warehouse scale this is
-    # the materialized signature table every minhash pipeline writes
-    # before banding.
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingle_hashes(F.col(text_col)).alias("sh"),
-        minhash_signature(F.col(text_col)).alias("sig"),
-    ).persist()
-    bands = base.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band", "band_sig"),
+def minhash_signature_portable(text: Column, k: int = MINHASH_K) -> Column:
+    """k-permutation MinHash over md5-derived shingle hashes with affine
+    permutations h_i = (a_i·H + b_i) mod 2^31-1 — every step ANSI-SQL,
+    mirrored literally by the DuckDB oracle (queries._sql_d3)."""
+    sh = F.array_distinct(F.transform(shingles(text), portable_hash))
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit(MH_PRIME).cast("long"), k),  # > any (x mod P)
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(h * MH_A[i] + MH_B[i]) % MH_PRIME for i in range(k)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
-    buckets = bands.groupBy("band", "band_sig").agg(
+
+
+def _portable_band_sig(sig: Column, b: int) -> Column:
+    """Fold LSH_ROWS signature entries into one band signature:
+    s ← (s·BAND_M + v) mod P — stays < 2^51 pre-mod, no overflow."""
+    s = sig[b * LSH_ROWS]
+    for r in range(1, LSH_ROWS):
+        s = (s * BAND_M + sig[b * LSH_ROWS + r]) % MH_PRIME
+    return s
+
+
+def _bucket_pairs(bands: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(doc_id, *key_cols) → distinct candidate pairs (doc_a < doc_b)
+    within each capped bucket. Shared by minhash and simhash blocking."""
+    buckets = bands.groupBy(*key_cols).agg(
         F.slice(
             F.array_sort(F.collect_list("doc_id")), 1, LSH_BUCKET_CAP
-        ).alias("members"),
-        (F.count("*") > LSH_BUCKET_CAP).alias("truncated"),
+        ).alias("members")
     )
-    pairs = (
+    return (
         buckets.filter(F.size("members") > 1)
         .select(
             F.explode(
@@ -192,6 +209,60 @@ def minhash_lsh_pairs(
         .select("p.*")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= jaccard_threshold.
+
+    hash_mode: "fast" = xxhash64 family (JVM-only, no string shingle
+    materialization); "portable" = md5-prefix family reproducible in
+    DuckDB — the driver's oracle checks the portable mode end to end;
+    banding/bucketing/cap/verify are the same code for both.
+
+    Shuffle discipline (the 100 TB shape): the band explosion ships
+    (doc_id, band_sig) only — 16 fixed-width rows per doc, never the
+    shingle sets. Candidate pairs (rare) are then verified by joining
+    the shingle table back, with the pair list broadcast to both probe
+    joins, so document content crosses the wire at most once.
+    """
+    # The DAG references this three ways (band branch + two verify
+    # probes); cache so shingling runs once. At warehouse scale this is
+    # the materialized signature table every minhash pipeline writes
+    # before banding. (Cache lifetime: see module docstring.)
+    if hash_mode == "portable":
+        sh_col = F.array_distinct(
+            F.transform(shingles(F.col(text_col)), portable_hash)
+        )
+        sig_col = minhash_signature_portable(F.col(text_col))
+        band_of = _portable_band_sig
+    else:
+        sh_col = shingle_hashes(F.col(text_col))
+        sig_col = minhash_signature(F.col(text_col))
+
+        def band_of(sig: Column, b: int) -> Column:
+            return F.xxhash64(*[sig[b * LSH_ROWS + r] for r in range(LSH_ROWS)])
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        sh_col.alias("sh"),
+        sig_col.alias("sig"),
+    ).persist()
+    bands = base.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_of(F.col("sig"), b) for b in range(LSH_BANDS)])
+        ).alias("band", "band_sig"),
+    )
+    pairs = _bucket_pairs(bands, ["band", "band_sig"])
     sh_tab = base.select("doc_id", "sh")
     verified = (
         sh_tab.join(F.broadcast(pairs), sh_tab.doc_id == pairs.doc_a)
@@ -205,6 +276,41 @@ def minhash_lsh_pairs(
         verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def lsh_bucket_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row bucket health report for the MinHash-LSH band space:
+    (n_buckets, n_multi, n_truncated, max_bucket). ``n_truncated`` > 0
+    means LSH_BUCKET_CAP dropped candidate pairs in ``minhash_lsh_pairs``
+    — the observable form of the cap (module docstring)."""
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(F.col(text_col)).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    sizes = bands.groupBy("band", "band_sig").agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum((F.col("n") > 1).cast("long")).cast("bigint").alias("n_multi"),
+        F.sum((F.col("n") > LSH_BUCKET_CAP).cast("long"))
+        .cast("bigint")
+        .alias("n_truncated"),
+        F.max("n").cast("bigint").alias("max_bucket"),
     )
 
 
@@ -229,65 +335,68 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     return F.transform(votes, lambda v: (v > 0).cast("int"))
 
 
+def simhash_portable(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """64-bit SimHash with a portable bit family: bit j of a token's
+    hash = parity of (a_j·H + b_j) mod 2^31-1 over the md5-prefix hash
+    H — reproducible in ANSI SQL (queries._sql_d4)."""
+    hashes = F.transform(tokens(text), portable_hash)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    ((h * SH_A[j] + SH_B[j]) % MH_PRIME % 2) * 2 - 1
+                    for j in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.transform(votes, lambda v: (v > 0).cast("int"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, candidates
-    blocked on equality of one of SIMHASH_CHUNKS 16-bit chunks."""
+    blocked on equality of one of SIMHASH_CHUNKS 16-bit chunks.
+    hash_mode as in minhash_lsh_pairs ("portable" = DuckDB-checkable)."""
     chunk = SIMHASH_BITS // SIMHASH_CHUNKS
     # same shuffle discipline as minhash_lsh_pairs: buckets carry doc_ids
     # only; signatures join back for the (rare) candidate pairs.
+    sig_col = (
+        simhash_portable(F.col(text_col))
+        if hash_mode == "portable"
+        else simhash(F.col(text_col))
+    )
     sig = docs.select(
-        F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("bits")
+        F.col(id_col).alias("doc_id"), sig_col.alias("bits")
     ).persist()
+
+    def chunk_sig(c: int) -> Column:
+        if hash_mode == "portable":
+            # pack the 16 chunk bits into an int — SQL-mirrorable
+            s = F.lit(0)
+            for j in range(chunk):
+                s = s + F.col("bits")[c * chunk + j] * (2**j)
+            return s.cast("long")
+        return F.xxhash64(
+            F.array_join(F.slice("bits", c * chunk + 1, chunk), ""), F.lit(c)
+        )
+
     chunks = sig.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.array_join(
-                            F.slice("bits", c * chunk + 1, chunk), ""
-                        ),
-                        F.lit(c),
-                    )
-                    for c in range(SIMHASH_CHUNKS)
-                ]
-            )
+            F.array(*[chunk_sig(c) for c in range(SIMHASH_CHUNKS)])
         ).alias("chunk", "chunk_sig"),
     )
-    buckets = chunks.groupBy("chunk", "chunk_sig").agg(
-        F.slice(
-            F.array_sort(F.collect_list("doc_id")), 1, LSH_BUCKET_CAP
-        ).alias("members")
-    )
-    pairs = (
-        buckets.filter(F.size("members") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "members",
-                        lambda a, i: F.transform(
-                            F.slice(
-                                "members",
-                                i + 2,
-                                F.greatest(F.size("members") - i - 1, F.lit(0)),
-                            ),
-                            lambda b: F.struct(
-                                a.alias("doc_a"), b.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    pairs = _bucket_pairs(chunks, ["chunk", "chunk_sig"])
     joined = (
         sig.join(F.broadcast(pairs), sig.doc_id == pairs.doc_a)
         .select("doc_a", "doc_b", F.col("bits").alias("bits_a"))

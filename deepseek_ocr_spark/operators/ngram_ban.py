@@ -1,0 +1,99 @@
+"""F1 faithful: windowed no-repeat-ngram suppression, re-expressed
+relationally (reference: process/ngram_norepeat.py:7-40, applied with
+params (20,50) run_dpsk_ocr_pdf.py:46, (30,90) run_dpsk_ocr_image.py:162,
+(40,90) run_dpsk_ocr_eval_batch.py:37; whitelist = {<td>, </td>} ids).
+
+Reference semantics (a logits processor at decode step t): with history
+s[0..t-1], candidate s[t] is banned iff some i in [t-window, t-n]
+starts an ngram whose first n-1 tokens equal the last n-1 history
+tokens and whose last token equals s[t] — i.e. iff the full ngram
+ending at t already occurs, starting in [t-window, t-n]. Detection over
+a static token sequence is that rule under teacher forcing; in ngram
+start positions, start j is banned iff an equal ngram starts at some
+i with 1 <= j - i <= window - n + 1.
+
+That is a pure equi-join: explode ngrams with start positions, self-join
+within doc on ngram equality + the window distance predicate. The 100 TB
+shape: the shuffle key is (doc_id, ngram-hash) — no per-doc quadratic
+blowup (cost ~ sum of squared ngram-multiplicities, bounded by the
+window), no Python anywhere. The span-level consecutive-run collapse in
+spans_pipeline._collapse_expr stays as the cheap zero-shuffle fast path;
+this operator is the faithful windowed-history form (a phrase repeated
+with one word in between IS caught here, as in the reference).
+
+Golden parity: tests/test_ngram_ban.py checks positions against
+oracle.oracle_ngram_ban, a statement-level port of the reference
+processor, across the reference's (ngram, window) parameter set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # token joiner for ngram identity (tokens never contain \x1f)
+WHITELIST = ("<td>", "</td>")  # ngram_norepeat.py:33 token-id whitelist
+
+
+def ngram_ban_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_size: int = 3,
+    window_size: int = 50,
+    whitelist: tuple[str, ...] = WHITELIST,
+) -> DataFrame:
+    """Banned-token positions per doc: (doc_id, pos, token), pos = the
+    0-based token index the reference processor would have banned.
+
+    Tokens are whitespace-split, case-sensitive (stand-ins for the
+    reference's token ids). window_size < ngram_size bans nothing, as in
+    the reference (empty search range)."""
+    n = ngram_size
+    # tokenize once (projection boundary keeps the split from being
+    # re-evaluated per ngram by CollapseProject)
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), r"\s+").alias("toks"),
+    )
+    toks = F.col("toks")
+    # ngram table: (doc_id, start j, ngram string, last token)
+    ngrams = tokenized.select(
+        "doc_id",
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda j: F.struct(
+                    j.alias("start"),
+                    F.array_join(F.slice(toks, j + 1, n), SEP).alias("ng"),
+                    F.slice(toks, j + n, 1).getItem(0).alias("last_tok"),
+                ),
+            ),
+        )
+        .otherwise(F.array())
+        .alias("ngs"),
+    ).select("doc_id", F.explode("ngs").alias("g"))
+    flat = ngrams.select(
+        "doc_id", F.col("g.start").alias("start"), F.col("g.ng").alias("ng"),
+        F.col("g.last_tok").alias("last_tok"),
+    )
+    a, b = flat.alias("a"), flat.alias("b")
+    max_gap = window_size - n + 1
+    banned = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.ng") == F.col("b.ng"))
+            & (F.col("b.start") - F.col("a.start") >= 1)
+            & (F.col("b.start") - F.col("a.start") <= max_gap),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            (F.col("b.start") + n - 1).cast("bigint").alias("pos"),
+            F.col("b.last_tok").alias("token"),
+        )
+        .filter(~F.col("token").isin(*whitelist))
+        .distinct()
+    )
+    return banned

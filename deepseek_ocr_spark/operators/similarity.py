@@ -4,11 +4,18 @@
   Query side is broadcast (small), so the big side is never shuffled;
   per-partition top-k then a tiny merge (TakeOrderedAndProject shape).
 - lsh_topk: random-hyperplane LSH bucketing — the scale path. Bucket id
-  is the sign pattern of N_PLANES pseudo-random ±1 projections
-  (deterministic from xxhash64(dim, plane) — no stored model, identical
-  on every executor). Probing only the query's bucket turns the O(N·Q)
-  scan into O(N/2^p·Q) at some recall cost; multi-probe (flipping the
-  weakest sign) recovers most of it.
+  is the sign pattern of n_planes ±1 projections whose weights are
+  fixed literals (no stored model, identical on every executor AND
+  reproducible in the DuckDB oracle). Probing only the query's bucket
+  turns the O(N·Q) scan into O(N/2^p·Q) at some recall cost;
+  multi-probe (n_probe: flip the weakest-margin signs, one bit each)
+  recovers most of it.
+- ivf_topk_seeded: deterministic IVF (coarse quantizer = literal seed
+  vectors from the corpus itself) — ANSI-SQL-expressible end to end,
+  the driver-oracled registry path.
+- ivf_topk: k-means IVF (pyspark.ml) — the tuned-index variant; the
+  fit is SAMPLED to a bounded row count so index build cost is flat in
+  corpus size.
 
 All dot products are sequential left-to-right double folds in
 whole-stage codegen (F.aggregate over zip_with) — no UDFs.
@@ -16,10 +23,20 @@ whole-stage codegen (F.aggregate over zip_with) — no UDFs.
 
 from __future__ import annotations
 
+import random as _random
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 8
+MAX_PLANES = 16
+MAX_DIM = 256
+# Fixed ±1 hyperplane weights: literal on both engines (queries._sql_s2
+# inlines the same lists), sliced to the vector's dimensionality.
+_rnd = _random.Random(0x51EED)
+HYPERPLANES = [
+    [_rnd.choice((-1.0, 1.0)) for _ in range(MAX_DIM)] for _ in range(MAX_PLANES)
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -77,48 +94,168 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
-    """LSH bucket id: sign pattern of n_planes ±1-weighted projections.
-    Plane weights derive from xxhash64(dim_index, plane) — deterministic,
-    model-free, identical across executors."""
-    def _proj(p: int) -> Column:
-        def weigh(x: Column, i: Column) -> Column:
-            w = (F.xxhash64(i.cast("string"), F.lit(p)).bitwiseAND(F.lit(1))) * 2 - 1
-            return x.cast("double") * w.cast("double")
+def hyperplane_margins(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """array<double> of signed projections onto the literal ±1
+    hyperplanes, each a sequential left-to-right fold (cross-engine
+    byte-exact, CLAUDE.md rule 2)."""
 
+    def _proj(p: int) -> Column:
+        w = F.slice(
+            F.array(*[F.lit(x) for x in HYPERPLANES[p]]), 1, F.size(vec)
+        )
         return F.aggregate(
-            F.transform(vec, weigh),
+            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x,
         )
 
-    proj = [_proj(p) for p in range(n_planes)]
+    return F.array(*[_proj(p) for p in range(n_planes)])
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """LSH bucket id: sign pattern of the n_planes projections."""
+    m = hyperplane_margins(vec, n_planes)
     bucket = F.lit(0)
-    for p, pr in enumerate(proj):
-        bucket = bucket + F.when(pr > 0, F.lit(2**p)).otherwise(F.lit(0))
+    for p in range(n_planes):
+        bucket = bucket + F.when(m[p] > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket.cast("int")
+
+
+def probe_buckets(
+    vec: Column, n_planes: int = N_PLANES, n_probe: int = 2
+) -> Column:
+    """Multi-probe bucket list: the primary bucket plus single-bit flips
+    of the n_probe-1 weakest planes (smallest |margin|, plane-index
+    tiebreak) — the standard multi-probe LSH recall recovery."""
+    m = hyperplane_margins(vec, n_planes)
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + F.when(m[p] > 0, F.lit(2**p)).otherwise(F.lit(0))
+    bucket = bucket.cast("int")
+    ranked = F.array_sort(
+        F.zip_with(
+            m,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda mm, p: F.struct(F.abs(mm).alias("a"), p.alias("p")),
+        )
+    )
+    pow2 = F.array(*[F.lit(2**p) for p in range(n_planes)])
+    flips = F.transform(
+        F.slice(ranked, 1, n_probe - 1),
+        lambda s: bucket.bitwiseXOR(F.get(pow2, s["p"])),
+    )
+    return F.concat(F.array(bucket), flips)
 
 
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
+    n_planes: int = N_PLANES,
+    n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket (plus brute-force fallback none — recall measured in tests)."""
+    """Approximate top-k: candidates restricted to the query's probe
+    set (primary LSH bucket + n_probe-1 weakest-sign flips). A vector
+    lives in exactly one bucket and the probe buckets are distinct, so
+    no candidate appears twice — no dedup pass needed. Recall vs the
+    exact baseline is measured in tests."""
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        hyperplane_bucket(F.col(vec_col)).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        hyperplane_bucket(F.col(vec_col)).alias("bucket"),
+        F.explode(probe_buckets(F.col(vec_col), n_planes, n_probe)).alias(
+            "bucket"
+        ),
     )
     scored = v.join(F.broadcast(q), on="bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            "sim",
+            "rank",
+        )
+    )
+
+
+IVF_FIT_SAMPLE = 100_000  # bounded k-means fit size (rows)
+
+
+def ivf_topk_seeded(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed_base: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer: the centroids
+    are the corpus vectors with ids [seed_base, seed_base + n_cells)
+    (a zero-iteration quantizer — cell = nearest seed by squared L2,
+    ties broken by cell index). Every step is relational arithmetic, so
+    the DuckDB oracle (queries._sql_s3) reproduces it bit-for-bit; the
+    k-means variant (ivf_topk) trades that determinism for better cell
+    balance. Same probe mechanics: queries search their n_probe nearest
+    cells only.
+
+    Cell assignment is a broadcast join against the n_cells seed rows +
+    a per-vector argmin window — the big side shuffles once on vec_id,
+    or not at all when the dist array is computed literal-side (the
+    k-means path); here the seeds stay a DataFrame so the whole plan is
+    model-free and engine-portable.
+    """
+    cents = vectors.filter(
+        (F.col(id_col) >= seed_base) & (F.col(id_col) < seed_base + n_cells)
+    ).select(
+        (F.col(id_col) - seed_base).cast("int").alias("cell"),
+        F.col(vec_col).alias("cvec"),
+    )
+
+    def sq_l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(df: DataFrame, out_id: str, keep_vec: str, n: int) -> DataFrame:
+        d = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(keep_vec)
+        ).crossJoin(F.broadcast(cents))
+        d = d.withColumn("d", sq_l2(F.col(keep_vec), F.col("cvec")))
+        w = Window.partitionBy(out_id).orderBy(F.asc("d"), F.asc("cell"))
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= n)
+            .select(out_id, keep_vec, "cell")
+        )
+
+    v = assign(vectors, "neighbor_id", "vec", 1)
+    q = assign(queries, "query_id", "qvec", n_probe)
+    scored = v.join(F.broadcast(q), on="cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -151,8 +288,10 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer (pyspark.ml)
     assigns every vector to a cell; a query probes only its n_probe
-    nearest cells. The index-build is one MLlib fit (sampled at scale);
-    search cost drops from O(N) to O(N·n_probe/n_cells) per query.
+    nearest cells. The index build fits on a SAMPLE bounded at
+    IVF_FIT_SAMPLE rows (k-means centroids converge on a sample; the
+    fit cost stays flat as the corpus grows), so search cost drops from
+    O(N) to O(N·n_probe/n_cells) per query with an O(1)-ish build.
 
     Centroids are collected to the driver (n_cells × dim floats — tiny)
     and inlined as literals, so cell assignment of queries is pure
@@ -161,7 +300,10 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = vectors.select(
+    n = vectors.count()
+    frac = min(1.0, IVF_FIT_SAMPLE / max(n, 1))
+    sampled = vectors.sample(False, frac, seed) if frac < 1.0 else vectors
+    train = sampled.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
@@ -233,16 +375,32 @@ def embedding_dup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = 0,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking key."""
-    v = vectors.select(
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    n_planes=0: all pairs within the block — the exact quadratic
+    BASELINE (like jaccard_pairs_blocked for d2); do not run at scale on
+    low-cardinality blocks. n_planes>0: additionally block on the
+    hyperplane-LSH bucket, so block size is ~|block|/2^n_planes and
+    n_planes grows logarithmically with the corpus — the scale path
+    (VERDICT r1 fix #4). Near-dup pairs above a high threshold almost
+    always share the full sign pattern; recall vs the exact baseline is
+    measured in tests."""
+    cols = [
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-    )
+    ]
+    if n_planes:
+        cols.append(hyperplane_bucket(F.col(vec_col), n_planes).alias("bkt"))
+    v = vectors.select(*cols)
     a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.blk") == F.col("b.blk")
+    if n_planes:
+        cond = cond & (F.col("a.bkt") == F.col("b.bkt"))
     return (
-        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        a.join(b, cond)
         .filter(F.col("a.vid") < F.col("b.vid"))
         .select(
             F.col("a.vid").cast("bigint").alias("vec_a"),

@@ -68,11 +68,26 @@ def extract_spans(
     needing a stream-stream self-join).
 
     Zero-shuffle: all logic is array-local. Media idx for a media span =
-    count of media spans with smaller offset (O(k²) per doc in codegen,
-    k ≤ a few hundred — far cheaper than a shuffle).
+    count of media spans ordered strictly earlier by (offset, original
+    array position) — the position tiebreak makes duplicate-offset input
+    deterministic and identical to the oracle's stable sort (O(k²) per
+    doc in codegen, k ≤ a few hundred — far cheaper than a shuffle).
     """
+    indexed = F.transform(
+        "spans",
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["offset"].alias("offset"),
+            i.alias("pos"),
+        ),
+    )
     sorted_spans = F.array_sort(
-        "spans", lambda l, r: l["offset"].cast("int") - r["offset"].cast("int")
+        indexed,
+        lambda l, r: F.when(
+            l["offset"] != r["offset"],
+            l["offset"].cast("int") - r["offset"].cast("int"),
+        ).otherwise(l["pos"] - r["pos"]),
     )
     df = documents.withColumn("_s", sorted_spans)
 
@@ -95,7 +110,8 @@ def extract_spans(
     )
 
     spans_col = F.col("_s")
-    # media numbering: rank among media spans in offset order, array-local
+    # media numbering: rank among media spans in (offset, pos) order,
+    # array-local — pos breaks duplicate-offset ties deterministically
     numbered = F.transform(
         spans_col,
         lambda s: F.struct(
@@ -107,7 +123,11 @@ def extract_spans(
                 F.size(
                     F.filter(
                         spans_col,
-                        lambda m: (m["kind"] == "image") & (m["offset"] < s["offset"]),
+                        lambda m: (m["kind"] == "image")
+                        & (
+                            (m["offset"] < s["offset"])
+                            | ((m["offset"] == s["offset"]) & (m["pos"] < s["pos"]))
+                        ),
                     )
                 ),
             ).alias("media_idx"),

@@ -98,6 +98,36 @@ def oracle_pdf_doc(pages: list[str], skip_repeat: bool = True) -> dict:
     }
 
 
+def oracle_ngram_ban(
+    tokens: list[str],
+    ngram_size: int,
+    window_size: int,
+    whitelist: frozenset[str] = frozenset(),
+) -> list[int]:
+    """Statement-level port of the reference's windowed no-repeat-ngram
+    processor (process/ngram_norepeat.py:18-40) applied to a static
+    token sequence under teacher forcing: returns the 0-based positions
+    t whose token the processor would have banned at decode step t
+    (history = tokens[:t], candidate = tokens[t])."""
+    banned_positions: list[int] = []
+    for t in range(len(tokens)):
+        input_ids = tokens[:t]
+        if len(input_ids) < ngram_size:
+            continue
+        current_prefix = tuple(input_ids[-(ngram_size - 1):])
+        search_start = max(0, len(input_ids) - window_size)
+        search_end = len(input_ids) - ngram_size + 1
+        banned: set[str] = set()
+        for i in range(search_start, search_end):
+            ngram = tuple(input_ids[i : i + ngram_size])
+            if ngram[:-1] == current_prefix:
+                banned.add(ngram[-1])
+        banned -= whitelist
+        if tokens[t] in banned:
+            banned_positions.append(t)
+    return banned_positions
+
+
 # ---------------------------------------------------------------------------
 # spans-input pipeline oracle (engine semantics over input_hint shape)
 # ---------------------------------------------------------------------------

@@ -2,20 +2,21 @@
 (north_rule: "resumable from checkpoint with per-partition lineage +
 metrics"; SURVEY §4.3).
 
-Layout under a run directory:
-    out/spans/      extracted span table, appended one slice per commit
+Layout under a run directory (all three partitioned by slice_id):
+    out/spans/      extracted span table, slice_id=N partition dirs
     out/metrics/    per-slice aggregate metrics (docs, spans, failures,
                     char yield) — the extraction-metrics table
     out/lineage/    one row per committed slice: (slice_id, n_docs,
-                    committed_at_ns monotonic id) — the resume log
+                    commit_seq driver-side monotonic counter) — the
+                    resume log
 
 Resume protocol: a restarted run lists committed slice_ids from
-lineage/, left-anti-joins them against the input's slice assignment,
-and processes only the remainder. A slice's spans+metrics+lineage rows
-are written in that order, lineage last — a crash between writes leaves
-at worst an uncommitted slice whose spans rows are rewritten (then
-deduplicated by slice overwrite semantics: each slice writes to its own
-subdirectory, so a rerun overwrites rather than duplicates).
+lineage/, subtracts them from the slice universe, and processes only
+the remainder — in ONE job over ONE scan of the input (dynamic
+partition overwrite keeps committed partitions untouched). Spans, then
+metrics, then lineage are written in that order, lineage last — a
+crash between writes leaves at worst uncommitted slices whose spans
+partitions are rewritten on rerun (overwrite, not duplicate).
 
 At 10^12 docs the same protocol rides on Iceberg: slice commit =
 snapshot append with the lineage row in snapshot summary metadata, and
@@ -66,39 +67,75 @@ def run_extract_resumable(
 ) -> dict:
     """Extract spans for every doc not yet committed; returns run stats.
 
+    Single-input-scan shape: ALL pending slices are written by ONE job
+    (``partitionBy("slice_id")`` under dynamic partition overwrite, so
+    already-committed partitions are untouched and a crashed rerun
+    overwrites rather than duplicates). Per-slice metrics are then
+    aggregated from the *written output* (a scan of the small result,
+    never a rescan of the input), and the lineage rows are written LAST —
+    the commit point. At 10^12 docs this is the Iceberg shape: one append
+    job, snapshot commit per partition set, resume = anti-join against
+    the lineage table (module docstring).
+
     fail_after_slices: test hook — simulate a crash after N slice
     commits (SURVEY §5 test plan (d): kill between snapshots ⇒ rerun
-    completes idempotently).
+    completes idempotently) by restricting this run to the first N
+    pending slices.
     """
-    sliced = assign_slices(docs, n_slices)
     done = committed_slices(spark, out_dir)
     todo = sorted(set(range(n_slices)) - done)
-    committed = 0
-    for sid in todo:
-        if fail_after_slices is not None and committed >= fail_after_slices:
-            break
-        part = sliced.filter(F.col("slice_id") == sid).drop("slice_id")
-        out = extract_spans(part)
-        out.write.mode("overwrite").parquet(f"{out_dir}/spans/slice={sid}")
-        metrics = out.agg(
-            F.lit(sid).alias("slice_id"),
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("blocks_kept").cast("bigint").alias("blocks_kept"),
-            F.sum("blocks_dropped").cast("bigint").alias("blocks_dropped"),
-            F.sum("parse_failures").cast("bigint").alias("parse_failures"),
-            F.sum("media_spans").cast("bigint").alias("media_spans"),
-            F.sum("char_yield").cast("bigint").alias("char_yield"),
+    if fail_after_slices is not None:
+        todo = todo[:fail_after_slices]
+    if todo:
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
         )
-        metrics.write.mode("overwrite").parquet(f"{out_dir}/metrics/slice={sid}")
-        # lineage row LAST — the commit point
-        metrics.select(
-            "slice_id", "n_docs", F.monotonically_increasing_id().alias("commit_seq")
-        ).write.mode("overwrite").parquet(f"{out_dir}/lineage/slice={sid}")
-        committed += 1
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            pending = assign_slices(docs, n_slices).filter(
+                F.col("slice_id").isin([int(s) for s in todo])
+            )
+            out = extract_spans(pending, passthrough=("slice_id",))
+            out.write.mode("overwrite").partitionBy("slice_id").parquet(
+                f"{out_dir}/spans"
+            )
+            # metrics from the written output — the input is scanned once
+            written = spark.read.parquet(f"{out_dir}/spans").filter(
+                F.col("slice_id").isin([int(s) for s in todo])
+            )
+            metrics = written.groupBy("slice_id").agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("blocks_kept").cast("bigint").alias("blocks_kept"),
+                F.sum("blocks_dropped").cast("bigint").alias("blocks_dropped"),
+                F.sum("parse_failures").cast("bigint").alias("parse_failures"),
+                F.sum("media_spans").cast("bigint").alias("media_spans"),
+                F.sum("char_yield").cast("bigint").alias("char_yield"),
+            )
+            metrics.write.mode("overwrite").partitionBy("slice_id").parquet(
+                f"{out_dir}/metrics"
+            )
+            # lineage rows LAST — the commit point. commit_seq is a
+            # driver-side monotonic counter continuing from prior runs
+            # (bounded collect: ≤ n_slices rows).
+            n_by_slice = {
+                r["slice_id"]: r["n_docs"]
+                for r in metrics.select("slice_id", "n_docs").collect()
+            }
+            lineage_rows = [
+                (int(sid), int(n_by_slice.get(sid, 0)), len(done) + i)
+                for i, sid in enumerate(todo)
+            ]
+            spark.createDataFrame(
+                lineage_rows, "slice_id int, n_docs bigint, commit_seq bigint"
+            ).write.mode("overwrite").partitionBy("slice_id").parquet(
+                f"{out_dir}/lineage"
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return {
         "slices_total": n_slices,
         "slices_previously_done": len(done),
-        "slices_committed_now": committed,
+        "slices_committed_now": len(todo),
         "resumed": len(done) > 0,
     }
 

@@ -572,6 +572,69 @@ FROM m, range(0, 4) r WHERE r.range < m.n
 """
 
 
+def x5b_media_ref_multipage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 in its real multi-page form: jdx advances over KEPT pages only
+    (run_dpsk_ocr_pdf.py:285,320 — dropped pages shift the numbering),
+    media_ref = images/{jdx}_{idx}.jpg with idx the within-page match
+    index. Three synthetic pages per doc; page (doc_id+page_no)%3==0 is
+    dropped (the SKIP_REPEAT stand-in — the EOS gate itself is oracled
+    by f2). The jdx window is row_number over kept pages per doc — the
+    correctness-critical window shape of SURVEY §2.5, driver-checked."""
+    df = _raw(spark, sf_dir)
+    pages = df.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("page_no"),
+        "raw",
+    )
+    kept = pages.filter(((F.col("doc_id") + F.col("page_no")) % 3) > 0)
+    w = Window.partitionBy("doc_id").orderBy("page_no")
+    jdx = kept.withColumn("jdx", F.row_number().over(w) - 1)
+    media = jdx.select(
+        "doc_id",
+        "page_no",
+        "jdx",
+        F.posexplode(F.regexp_extract_all("raw", F.lit(MEDIA_PAT), 0)).alias(
+            "idx", "block"
+        ),
+    )
+    return media.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("page_no").cast("bigint").alias("page_no"),
+        F.col("jdx").cast("bigint").alias("jdx"),
+        F.col("idx").cast("bigint").alias("idx"),
+        F.concat(
+            F.lit("images/"),
+            F.col("jdx").cast("string"),
+            F.lit("_"),
+            F.col("idx").cast("string"),
+            F.lit(".jpg"),
+        ).alias("media_ref"),
+    )
+
+
+SQL_X5B = f"""
+WITH {RAW_DOCS_CTE},
+pages AS (
+  SELECT doc_id, r.range AS page_no, raw FROM raw_docs CROSS JOIN range(0, 3) r
+),
+kept AS (
+  SELECT doc_id, page_no, raw,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY page_no) - 1 AS jdx
+  FROM pages WHERE (doc_id + page_no) % 3 > 0
+),
+m AS (
+  SELECT doc_id, page_no, jdx,
+         len(regexp_extract_all(raw, '{MEDIA_PAT}')) AS n
+  FROM kept
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(page_no AS BIGINT) AS page_no,
+  CAST(jdx AS BIGINT) AS jdx, CAST(r.range AS BIGINT) AS idx,
+  'images/' || CAST(jdx AS VARCHAR) || '_' || CAST(r.range AS VARCHAR)
+    || '.jpg' AS media_ref
+FROM m, range(0, 4) r WHERE r.range < m.n
+"""
+
+
 def x6_clean_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6+X7+F3+T1+T2+T4 composed: EOS strip → media rewrite → layout
     strip → LaTeX normalize → <center> strip → blank-line collapse
@@ -638,26 +701,106 @@ FROM raw_docs WHERE contains(raw, '{EOS_SENTINEL}')
 """
 
 
-def t5_source_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: per-group ordered concatenation (sort-agg; the page-split join
-    of run_dpsk_ocr_pdf.py:296-298 keyed on source instead of doc)."""
+_F1_SPIN = " spin spin loop spin spin loop spin spin loop"
+_F1_TD = " <td> cell </td> <td> cell </td> <td> cell </td>"
+
+
+def f1_ngram_ban(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 faithful: windowed no-repeat-ngram ban positions
+    (process/ngram_norepeat.py:18-40 semantics, detection form) with the
+    <td>/</td> whitelist (ngram_norepeat.py:33). Degenerate repetition
+    loops + whitelisted table markup are injected as pure functions of
+    doc_id so every branch (in-window ban, whitelist pass) is exercised;
+    params (3, 25) scale the reference's (20, 50) shape down to the
+    synthetic corpus' sentence lengths."""
+    from .operators.ngram_ban import ngram_ban_flags
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.lit(_F1_SPIN)).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(_F1_TD)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = ngram_ban_flags(docs, ngram_size=3, window_size=25)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "pos", "token"
+    )
+
+
+SQL_F1 = rf"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0 THEN ' {_F1_SPIN.strip()}' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' {_F1_TD.strip()}' ELSE '' END
+    AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS ord
+  FROM aug
+),
+ng AS (
+  SELECT a.doc_id, a.ord AS start,
+         a.tok || chr(31) || b.tok || chr(31) || c.tok AS ng, c.tok AS last_tok
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+)
+SELECT DISTINCT CAST(j.doc_id AS BIGINT) AS doc_id,
+  CAST(j.start + 1 AS BIGINT) AS pos, j.last_tok AS token
+FROM ng i JOIN ng j ON i.doc_id = j.doc_id AND i.ng = j.ng
+  AND j.start - i.start BETWEEN 1 AND 23
+WHERE j.last_tok NOT IN ('<td>', '</td>')
+"""
+
+
+def t5_page_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: per-DOC ordered page concatenation (the page-split join of
+    run_dpsk_ocr_pdf.py:296-298). Keyed on doc_id — group size is
+    bounded by pages-per-doc, so the sort-agg is scale-safe (VERDICT r1
+    #7: the former source-keyed variant built ~20 corpus-sized strings).
+    Pages are synthesized as fixed character windows of each doc."""
     df = _t(spark, sf_dir, "documents")
-    return df.groupBy("source").agg(
+    pages = df.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.substring("text", 1, 80),
+                F.substring("text", 81, 80),
+                F.expr("substring(text, 161)"),
+            )
+        ).alias("page_no", "content"),
+    )
+    return pages.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
-                lambda s: s["text"],
+                F.array_sort(F.collect_list(F.struct("page_no", "content"))),
+                lambda s: s["content"],
             ),
             PAGE_SEP,
         ).alias("doc_text"),
         F.count("*").cast("bigint").alias("n_pages"),
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "doc_text", "n_pages"
     )
 
 
 SQL_T5 = f"""
-SELECT source, string_agg(text, '{PAGE_SEP}' ORDER BY doc_id) AS doc_text,
+WITH pages AS (
+  SELECT doc_id, 0 AS page_no, substr(text, 1, 80) AS content FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS page_no, substr(text, 81, 80) AS content FROM documents
+  UNION ALL
+  SELECT doc_id, 2 AS page_no, substr(text, 161) AS content FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  string_agg(content, '{PAGE_SEP}' ORDER BY page_no) AS doc_text,
   CAST(COUNT(*) AS BIGINT) AS n_pages
-FROM documents GROUP BY source
+FROM pages GROUP BY doc_id
 """
 
 
@@ -1074,6 +1217,13 @@ sh AS (
   FROM toks a
   JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
   JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+  UNION
+  -- short-doc fallback (< 3 tokens): one whole-text shingle, mirroring
+  -- the Spark shingles() otherwise-branch
+  SELECT doc_id, lang, source,
+    array_to_string(regexp_split_to_array(lower(text), '\s+'), ' ') AS shingle
+  FROM documents
+  WHERE len(regexp_split_to_array(lower(text), '\s+')) < 3
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -1108,26 +1258,250 @@ def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (k=64) + 16-band LSH near-dup candidate pairs, verified
-    with exact Jaccard ≥ 0.5 — the scale path for 10^12-doc dedup."""
+    with exact Jaccard ≥ 0.5 — the scale path for 10^12-doc dedup.
+    hash_mode="portable" so the ENTIRE pipeline (shingle hash → k
+    permutations → band fold → capped buckets → pair gen → Jaccard
+    verify) is mirrored literally by the DuckDB oracle."""
     from .operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(
-        _docs_with_planted_dups(spark, sf_dir), jaccard_threshold=0.5
+    out = minhash_lsh_pairs(
+        _docs_with_planted_dups(spark, sf_dir),
+        jaccard_threshold=0.5,
+        hash_mode="portable",
+    )
+    return out.select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "jaccard",
     )
 
 
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (Hamming ≤ 3) via 16-bit chunk blocking."""
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) via 16-bit chunk blocking;
+    portable hash family → full DuckDB oracle parity."""
     from .operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs_with_planted_dups(spark, sf_dir), max_hamming=3)
+    out = simhash_pairs(
+        _docs_with_planted_dups(spark, sf_dir), max_hamming=3, hash_mode="portable"
+    )
+    return out.select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "hamming",
+    )
+
+
+# DuckDB mirrors of the planted-dup corpus + portable-hash dedup pipelines.
+_DUP_DOCS_CTE = r"""
+dup_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'PERTURBED' || substr(text, strpos(text, ' ')) AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+dtoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS ord
+  FROM dup_docs
+)
+"""
+
+
+def _sql_d3() -> str:
+    from .operators.dedup import (
+        BAND_M,
+        LSH_BANDS,
+        LSH_BUCKET_CAP,
+        LSH_ROWS,
+        MH_A,
+        MH_B,
+        MH_PRIME,
+        MINHASH_K,
+    )
+
+    mins = ",\n    ".join(
+        f"MIN((h * {MH_A[i]} + {MH_B[i]}) % {MH_PRIME}) AS s{i}"
+        for i in range(MINHASH_K)
+    )
+
+    def band_expr(b: int) -> str:
+        e = f"s{b * LSH_ROWS}"
+        for r in range(1, LSH_ROWS):
+            e = f"(({e}) * {BAND_M} + s{b * LSH_ROWS + r}) % {MH_PRIME}"
+        return e
+
+    bands_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, {band_expr(b)} AS band_sig FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return rf"""
+WITH {_DUP_DOCS_CTE.strip().rstrip()},
+sh AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+  FROM (
+    SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM dtoks a
+    JOIN dtoks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+    JOIN dtoks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+    UNION ALL
+    SELECT doc_id,
+      array_to_string(regexp_split_to_array(lower(text), '\s+'), ' ') AS shingle
+    FROM dup_docs
+    WHERE len(regexp_split_to_array(lower(text), '\s+')) < 3
+  )
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands_union}
+),
+buckets AS (
+  SELECT band, band_sig,
+         list_sort(list(doc_id))[1:{LSH_BUCKET_CAP}] AS members
+  FROM bands GROUP BY band, band_sig HAVING COUNT(*) > 1
+),
+mem AS (SELECT band, band_sig, unnest(members) AS doc_id FROM buckets),
+pairs AS (
+  SELECT DISTINCT m1.doc_id AS doc_a, m2.doc_id AS doc_b
+  FROM mem m1 JOIN mem m2
+    ON m1.band = m2.band AND m1.band_sig = m2.band_sig
+   AND m1.doc_id < m2.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.doc_a
+  JOIN sh y ON y.doc_id = p.doc_b AND y.h = x.h
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+  ROUND(CAST(i.n_common AS DOUBLE) /
+        CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ROUND(CAST(i.n_common AS DOUBLE) /
+            CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6) >= 0.5
+"""
+
+
+def _sql_d4() -> str:
+    from .operators.dedup import (
+        LSH_BUCKET_CAP,
+        MH_PRIME,
+        SH_A,
+        SH_B,
+        SIMHASH_BITS,
+        SIMHASH_CHUNKS,
+    )
+
+    chunk = SIMHASH_BITS // SIMHASH_CHUNKS
+    bits = ",\n    ".join(
+        f"CASE WHEN SUM(CASE WHEN (h * {SH_A[j]} + {SH_B[j]}) % {MH_PRIME} % 2 = 1"
+        f" THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    chunks_union = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {c} AS chunk, {expr} AS chunk_sig FROM sig".format(
+            c=c,
+            expr=" + ".join(
+                f"b{c * chunk + j} * {2 ** j}" for j in range(chunk)
+            ),
+        )
+        for c in range(SIMHASH_CHUNKS)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN x.b{j} <> y.b{j} THEN 1 ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return rf"""
+WITH {_DUP_DOCS_CTE.strip().rstrip()},
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h
+  FROM dtoks
+),
+sig AS (
+  SELECT doc_id,
+    {bits}
+  FROM th GROUP BY doc_id
+),
+chunks AS (
+  {chunks_union}
+),
+buckets AS (
+  SELECT chunk, chunk_sig,
+         list_sort(list(doc_id))[1:{LSH_BUCKET_CAP}] AS members
+  FROM chunks GROUP BY chunk, chunk_sig HAVING COUNT(*) > 1
+),
+mem AS (SELECT chunk, chunk_sig, unnest(members) AS doc_id FROM buckets),
+pairs AS (
+  SELECT DISTINCT m1.doc_id AS doc_a, m2.doc_id AS doc_b
+  FROM mem m1 JOIN mem m2
+    ON m1.chunk = m2.chunk AND m1.chunk_sig = m2.chunk_sig
+   AND m1.doc_id < m2.doc_id
+)
+SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
+  CAST({hamming} AS BIGINT) AS hamming
+FROM pairs p
+JOIN sig x ON x.doc_id = p.doc_a
+JOIN sig y ON y.doc_id = p.doc_b
+WHERE {hamming} <= 3
+"""
+
+
+def _vecs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies of every 5th vector: scaled by
+    1 + (vid%7-3)/1024 and shifted by (vid%3-1)/64 per component —
+    cosine ≈ 1 planted near-dups (dyadic constants: bit-exact in both
+    engines). Mirrors _docs_with_planted_dups for the vector space."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    vid = F.col("vec_id")
+    fac = F.lit(1.0) + ((vid % 7) - 3).cast("double") / F.lit(1024.0)
+    shift = ((vid % 3) - 1).cast("double") / F.lit(64.0)
+    # NB: perturb BEFORE renaming vec_id — a (vid+1e6).alias("vec_id")
+    # in the same select would capture fac/shift via Spark's lateral
+    # column alias resolution and perturb with the shifted id.
+    pert = (
+        base.filter(vid % 5 == 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x * fac + shift).alias(
+                "embedding"
+            ),
+            "label",
+        )
+        .select((vid + 1_000_000).alias("vec_id"), "embedding", "label")
+    )
+    return base.unionByName(pert)
+
+
+_D5_PLANES = 8
 
 
 def d5_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.3) blocked on label."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.99) over the planted-dup
+    vector corpus, blocked on (label, hyperplane-LSH bucket) — the
+    bucketed scale path (block size ~ |label|/2^8, n_planes grows with
+    the corpus), not the quadratic all-pairs baseline (VERDICT r1 #4).
+    The DuckDB oracle mirrors the bucketing literally; recall vs the
+    exact baseline is covered in tests/test_dedup_similarity.py."""
     from .operators.similarity import embedding_dup_pairs
 
-    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    return embedding_dup_pairs(
+        _vecs_with_planted_dups(spark, sf_dir),
+        threshold=0.99,
+        n_planes=_D5_PLANES,
+    )
 
 
 _DOT = (
@@ -1142,12 +1516,51 @@ _COS_AB = (
     f"({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})"
 )
 
-SQL_D5 = f"""
+_VAUG_CTE = """
+vaug AS (
+  SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+         e.label
+  FROM embeddings e
+  UNION ALL
+  SELECT e.vec_id + 1000000 AS vec_id,
+    list_transform(e.embedding, x -> CAST(x AS DOUBLE)
+      * (1.0 + CAST(e.vec_id % 7 - 3 AS DOUBLE) / 1024.0)
+      + CAST(e.vec_id % 3 - 1 AS DOUBLE) / 64.0) AS embedding,
+    e.label
+  FROM embeddings e WHERE e.vec_id % 5 = 0
+)
+"""
+
+
+def _wl(p: int, dim: int = 64) -> str:
+    from .operators.similarity import HYPERPLANES
+
+    return "[" + ", ".join(repr(x) for x in HYPERPLANES[p][:dim]) + "]"
+
+
+def _sql_d5() -> str:
+    np_ = _D5_PLANES
+    margins = ",\n    ".join(
+        f"list_sum(list_transform(list_zip(v.embedding, {_wl(p)}),"
+        f" s -> s[1] * CAST(s[2] AS DOUBLE))) AS m{p}"
+        for p in range(np_)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN m{p} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(np_)
+    )
+    return f"""
+WITH {_VAUG_CTE.strip()},
+m AS (
+  SELECT v.vec_id, v.label, v.embedding,
+    {margins}
+  FROM vaug v
+),
+bk AS (SELECT vec_id, label, embedding, {bucket} AS bucket FROM m)
 SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
   ROUND({_COS_AB}, 6) AS cos_sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_COS_AB} >= 0.3
+FROM bk a JOIN bk b
+  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({_COS_AB}, 6) >= 0.99
 """
 
 
@@ -1176,22 +1589,143 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+_S2_PLANES, _S2_PROBE = 6, 2
+_S3_CELLS, _S3_PROBE, _S3_BASE = 16, 2, 100
+
+
 def s3_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via IVF (k-means coarse quantizer, 2-probe) —
-    the index-based scale path; recall vs s1 measured in tests."""
-    from .operators.similarity import ivf_topk
+    """Approximate top-5 via IVF, 2-probe, with the deterministic seeded
+    coarse quantizer (ivf_topk_seeded) — fully relational, mirrored by
+    the DuckDB oracle. The k-means-fitted variant (ivf_topk, sampled
+    fit) is exercised by tests/test_dedup_similarity.py."""
+    from .operators.similarity import ivf_topk_seeded
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return ivf_topk_seeded(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        n_cells=_S3_CELLS,
+        n_probe=_S3_PROBE,
+        seed_base=_S3_BASE,
+    )
 
 
 def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH bucketing (the scale
-    path; recall vs s1 measured in tests)."""
+    """Approximate top-5 via random-hyperplane LSH with multi-probe
+    (primary bucket + weakest-sign flip); literal hyperplanes → the
+    DuckDB oracle reproduces bucketing and probing exactly."""
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        n_planes=_S2_PLANES,
+        n_probe=_S2_PROBE,
+    )
+
+
+def _sql_s2() -> str:
+    np_, nprobe, k = _S2_PLANES, _S2_PROBE, 5
+    margins = ",\n    ".join(
+        f"list_sum(list_transform(list_zip(e.embedding, {_wl(p)}),"
+        f" s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) AS m{p}"
+        for p in range(np_)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN m{p} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(np_)
+    )
+    unp = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, bucket, {p} AS p, abs(m{p}) AS a FROM qb"
+        for p in range(np_)
+    )
+    pow2 = "[" + ", ".join(str(2**p) for p in range(np_)) + "]"
+    return f"""
+WITH m AS (
+  SELECT e.vec_id,
+    {margins}
+  FROM embeddings e
+),
+bk AS (SELECT vec_id, {bucket} AS bucket FROM m),
+qb AS (
+  SELECT m.vec_id, bk.bucket, {", ".join(f"m.m{p}" for p in range(np_))}
+  FROM m JOIN bk ON bk.vec_id = m.vec_id WHERE m.vec_id < 20
+),
+unp AS (
+  {unp}
+),
+rk AS (
+  SELECT vec_id, bucket, p,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY a, p) AS rk
+  FROM unp
+),
+probes AS (
+  SELECT vec_id, bucket FROM qb
+  UNION ALL
+  SELECT vec_id, xor(bucket::BIGINT, ({pow2}[p + 1])::BIGINT)::INTEGER AS bucket
+  FROM rk WHERE rk <= {nprobe - 1}
+),
+scored AS (
+  SELECT pr.vec_id AS query_id, nb.vec_id AS neighbor_id,
+    ROUND({_COS_AB}, 6) AS sim
+  FROM probes pr
+  JOIN bk nb ON nb.bucket = pr.bucket AND nb.vec_id <> pr.vec_id
+  JOIN embeddings a ON a.vec_id = pr.vec_id
+  JOIN embeddings b ON b.vec_id = nb.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+  CAST(neighbor_id AS BIGINT) AS neighbor_id, sim, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _sql_s3() -> str:
+    n_cells, nprobe, k, base = _S3_CELLS, _S3_PROBE, 5, _S3_BASE
+    sq = (
+        "list_sum(list_transform(list_zip({v}, {c}),"
+        " s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+        " * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(vec_id - {base} AS INTEGER) AS cell, embedding AS cvec
+  FROM embeddings WHERE vec_id >= {base} AND vec_id < {base + n_cells}
+),
+vd AS (
+  SELECT e.vec_id, c.cell, {sq.format(v="e.embedding", c="c.cvec")} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+rk AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+  FROM vd
+),
+vcell AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
+qcell AS (SELECT vec_id, cell FROM rk WHERE rk <= {nprobe} AND vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+    ROUND({_COS_AB}, 6) AS sim
+  FROM qcell q
+  JOIN vcell v ON v.cell = q.cell AND v.vec_id <> q.vec_id
+  JOIN embeddings a ON a.vec_id = q.vec_id
+  JOIN embeddings b ON b.vec_id = v.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+  CAST(neighbor_id AS BIGINT) AS neighbor_id, sim, rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def m2_metrics_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1618,6 +2152,61 @@ FROM runs GROUP BY doc_id, page_no, run_id
 """
 
 
+def sd1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful exact dedup (applyInPandasWithState), drained
+    batch-equivalently: one AvailableNow micro-batch over the documents
+    parquet → one row per first-seen content digest with the suppressed
+    duplicate count. Single-batch first-seen == min(doc_id) per digest,
+    so the DuckDB oracle is a plain GROUP BY (VERDICT r1 #10). The
+    continuous multi-batch form is exercised in tests/test_stateful_dedup."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.stateful_dedup import streaming_exact_dedup_flat
+
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src):
+        stream_dir = src
+    else:
+        # FileStreamSource requires a directory; stage the single file
+        # once per sf_dir (content is deterministic)
+        tag = hashlib.md5(src.encode()).hexdigest()[:10]
+        stream_dir = f"{tempfile.gettempdir()}/sd1_src_{tag}"
+        if not os.path.exists(f"{stream_dir}/documents.parquet"):
+            os.makedirs(stream_dir, exist_ok=True)
+            shutil.copy(src, f"{stream_dir}/documents.parquet")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    out = streaming_exact_dedup_flat(stream, text_col="text")
+    name = f"sd1_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sd1_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "digest",
+        "doc_id",
+        F.col("n_duplicates_suppressed").cast("bigint").alias(
+            "n_duplicates_suppressed"
+        ),
+    )
+
+
+SQL_SD1 = """
+SELECT md5(text) AS digest, MIN(CAST(doc_id AS VARCHAR)) AS doc_id,
+  CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates_suppressed
+FROM documents GROUP BY md5(text)
+"""
+
+
 # ---------------------------------------------------------------------------
 # pipeline entries (non-SQL-expressible → rows-only driver check; the
 # byte-exact oracle for these is the pure-Python comparator in tests/)
@@ -1686,9 +2275,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x3_det_parse_check": (x3_det_parse_check, SQL_X3),
     "x4_coord_rescale": (x4_coord_rescale, SQL_X4),
     "x5_media_ref_resolution": (x5_media_ref_resolution, SQL_X5),
+    "x5b_media_ref_multipage": (x5b_media_ref_multipage, SQL_X5B),
     "x6_clean_rewrite": (x6_clean_rewrite, SQL_X6),
+    "f1_ngram_ban": (f1_ngram_ban, SQL_F1),
     "f2_eos_page_gate": (f2_eos_page_gate, SQL_F2),
-    "t5_source_concat": (t5_source_concat, SQL_T5),
+    "t5_page_concat": (t5_page_concat, SQL_T5),
     "a1_token_count": (a1_token_count, SQL_A1),
     "a2_quality_score": (a2_quality_score, SQL_A2),
     "a4_fingerprint": (a4_fingerprint, SQL_A4),
@@ -1701,18 +2292,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "p5_normalize": (p5_normalize, SQL_P5),
     "a3_langid": (a3_langid, SQL_A3),
     "d2_ngram_jaccard": (d2_ngram_jaccard, SQL_D2),
-    "d3_minhash_lsh": (d3_minhash_lsh, None),
-    "d4_simhash": (d4_simhash, None),
-    "d5_embedding_dup": (d5_embedding_dup, SQL_D5),
+    "d3_minhash_lsh": (d3_minhash_lsh, _sql_d3()),
+    "d4_simhash": (d4_simhash, _sql_d4()),
+    "d5_embedding_dup": (d5_embedding_dup, _sql_d5()),
     "s1_knn_bruteforce": (s1_knn_bruteforce, SQL_S1),
-    "s2_knn_lsh": (s2_knn_lsh, None),
-    "s3_knn_ivf": (s3_knn_ivf, None),
+    "s2_knn_lsh": (s2_knn_lsh, _sql_s2()),
+    "s3_knn_ivf": (s3_knn_ivf, _sql_s3()),
     "m1_media_join": (m1_media_join, SQL_M1),
     "m2_metrics_json": (m2_metrics_json, SQL_M2),
     "b1_boilerplate_classify": (b1_boilerplate_classify, SQL_B1),
     "b2_main_content": (b2_main_content, SQL_B2),
     "l1_reading_order": (l1_reading_order, SQL_L1),
     "l2_font_runs": (l2_font_runs, SQL_L2),
+    "sd1_stream_dedup": (sd1_stream_dedup, SQL_SD1),
     "pipeline_b_extract_spans": (pipeline_b_extract_spans, None),
     "pipeline_a_extract_pdf": (pipeline_a_extract_pdf, None),
 }

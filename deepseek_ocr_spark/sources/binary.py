@@ -62,16 +62,26 @@ def scan_images(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
 
 
 def _rasterize_kernel(content: bytes, dpi: int) -> list[tuple[int, int, int, bytes]]:
-    """Swappable PDF→page-images kernel (reference: fitz.Matrix zoom at
-    dpi=144, alpha-flattened RGB). Requires PyMuPDF."""
+    """Swappable PDF→page-images kernel (reference semantics:
+    run_dpsk_ocr_pdf.py:64-95 — zoom matrix dpi/72, alpha-flattened
+    RGB). Gated on PyMuPDF, which this container lacks; exercised by the
+    skip-marked tests in tests/test_real_kernels.py wherever it exists."""
     try:
-        import fitz  # noqa: F401
+        import fitz
     except ImportError as e:
         raise NotImplementedError(
             "PDF rasterization requires PyMuPDF; container ships without it "
             "— plug the kernel here, the Spark plumbing is unchanged"
         ) from e
-    raise NotImplementedError
+    zoom = dpi / 72.0
+    mat = fitz.Matrix(zoom, zoom)
+    out: list[tuple[int, int, int, bytes]] = []
+    with fitz.open(stream=content, filetype="pdf") as doc:
+        for page in doc:
+            pix = page.get_pixmap(matrix=mat, alpha=False)
+            samples = bytes(pix.samples)
+            out.append((pix.width, pix.height, len(samples), samples))
+    return out
 
 
 def rasterize_pdfs(

@@ -92,14 +92,28 @@ def _decode_fake(data: bytes) -> tuple[float, str]:
     return sum(data) / len(data), "ok"
 
 
-def _decode_real(data: bytes):  # pragma: no cover - codec not installed
+def _decode_real(data: bytes) -> tuple[float, str]:
+    """Real pixel decode (reference: run_dpsk_ocr_image.py:28-42
+    Image.open → RGB): mean grayscale intensity + status. Gated on PIL,
+    absent in this container; exercised by the skip-marked tests in
+    tests/test_real_kernels.py wherever it exists."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
             "real image decode requires PIL; container ships without codecs "
             "— plug the kernel here, plan shape is unchanged"
         ) from e
+    import io
+
+    if data is None or len(data) == 0:
+        return float("nan"), "empty"
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            px = list(im.convert("L").getdata())
+        return (sum(px) / len(px)) if px else float("nan"), "ok"
+    except Exception:
+        return float("nan"), "error"
 
 
 def decode_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:

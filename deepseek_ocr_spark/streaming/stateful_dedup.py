@@ -72,6 +72,27 @@ def _dedup_group(
     # an AvailableNow drain alive until they fire (observed hang).
 
 
+def streaming_exact_dedup_flat(
+    doc_stream: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Flat-text variant: digest = md5(text) — same keyed state machine.
+    With a single AvailableNow micro-batch the emitted canonical doc_id
+    is the lexicographic minimum per digest, which makes the semantics
+    batch-reproducible (registry query sd1_stream_dedup's DuckDB
+    oracle: GROUP BY md5(text) / MIN(doc_id) / COUNT(*)-1)."""
+    digested = doc_stream.select(
+        F.md5(F.col(text_col)).alias("digest"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    return digested.groupBy("digest").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_exact_dedup(doc_stream: DataFrame, text_col: str = "spans") -> DataFrame:
     """documents stream → one row per first-seen content digest.
 

@@ -43,10 +43,13 @@ def test_exact_dedup(spark, dup_docs):
     assert all(g["n_dups"] == 2 for g in groups)
 
 
-def test_minhash_lsh_finds_planted_pairs(spark, dup_docs):
+@pytest.mark.parametrize("mode", ["fast", "portable"])
+def test_minhash_lsh_finds_planted_pairs(spark, dup_docs, mode):
     found = {
         (r["doc_a"], r["doc_b"])
-        for r in minhash_lsh_pairs(dup_docs, jaccard_threshold=0.5).collect()
+        for r in minhash_lsh_pairs(
+            dup_docs, jaccard_threshold=0.5, hash_mode=mode
+        ).collect()
     }
     # every exact dup must be found (jaccard 1.0, all bands agree)
     for i in range(0, 40, 10):
@@ -62,14 +65,34 @@ def test_minhash_lsh_finds_planted_pairs(spark, dup_docs):
             dup_docs.withColumn("blk", F.lit(1)), ["blk"], threshold=0.0
         ).collect()
     }
-    for r in minhash_lsh_pairs(dup_docs, jaccard_threshold=0.5).collect():
+    for r in minhash_lsh_pairs(
+        dup_docs, jaccard_threshold=0.5, hash_mode=mode
+    ).collect():
         assert abs(exact[(r["doc_a"], r["doc_b"])] - r["jaccard"]) < 1e-6
 
 
-def test_simhash_finds_exact_dups(spark, dup_docs):
+def test_lsh_bucket_stats_surfaces_truncation(spark, dup_docs):
+    """The LSH_BUCKET_CAP is observable: stats report bucket counts and
+    flag truncated buckets (none on this tiny corpus; many identical
+    docs must trip it)."""
+    from deepseek_ocr_spark.operators.dedup import LSH_BUCKET_CAP, lsh_bucket_stats
+
+    s = lsh_bucket_stats(dup_docs).collect()[0]
+    assert s["n_buckets"] > 0 and s["n_multi"] > 0 and s["n_truncated"] == 0
+
+    clones = spark.createDataFrame(
+        [(i, "same text every time here") for i in range(LSH_BUCKET_CAP + 10)],
+        "doc_id long, text string",
+    )
+    s2 = lsh_bucket_stats(clones).collect()[0]
+    assert s2["n_truncated"] > 0 and s2["max_bucket"] == LSH_BUCKET_CAP + 10
+
+
+@pytest.mark.parametrize("mode", ["fast", "portable"])
+def test_simhash_finds_exact_dups(spark, dup_docs, mode):
     found = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in simhash_pairs(dup_docs, max_hamming=3).collect()
+        for r in simhash_pairs(dup_docs, max_hamming=3, hash_mode=mode).collect()
     }
     for i in range(0, 40, 10):
         assert found.get((i, 2000 + i)) == 0, f"exact dup {i} missed"
@@ -115,6 +138,96 @@ def test_lsh_topk_recall(spark, clustered_vecs):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_lsh_multiprobe_improves_recall(spark, clustered_vecs):
+    """n_probe=2 must never lose candidates vs n_probe=1 and the probe
+    set must be the primary bucket plus a one-bit flip."""
+    from deepseek_ocr_spark.operators.similarity import (
+        hyperplane_bucket,
+        probe_buckets,
+    )
+
+    rows = clustered_vecs.select(
+        hyperplane_bucket(F.col("embedding"), 8).alias("b"),
+        probe_buckets(F.col("embedding"), 8, 3).alias("probes"),
+    ).collect()
+    for r in rows:
+        assert r["probes"][0] == r["b"]
+        assert len(set(r["probes"])) == 3
+        for extra in r["probes"][1:]:
+            assert bin(extra ^ r["b"]).count("1") == 1
+
+    q = clustered_vecs.filter(F.col("vec_id").isin(0, 10, 20))
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(clustered_vecs, q, k=3, n_probe=1).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(clustered_vecs, q, k=3, n_probe=3).collect()
+    }
+    assert len(multi) >= len(single)
+
+
+@pytest.fixture(scope="module")
+def seeded_vecs(spark):
+    """clustered corpus whose ids place one representative of each
+    cluster at 100+c — the seeded-IVF quantizer range."""
+    import random
+
+    rnd = random.Random(13)
+    rows = []
+    for c in range(5):
+        center = [rnd.gauss(0, 1) for _ in range(16)]
+        for j in range(10):
+            vec = [x + rnd.gauss(0, 0.05) for x in center]
+            vid = 100 + c if j == 0 else c * 10 + j
+            rows.append((vid, vec, c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_ivf_seeded_recall(spark, seeded_vecs):
+    """Deterministic seeded quantizer (one seed per cluster): probed
+    cells contain the true neighbors."""
+    from deepseek_ocr_spark.operators.similarity import ivf_topk_seeded
+
+    q = seeded_vecs.filter(F.col("vec_id").isin(1, 11, 21))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(seeded_vecs, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_seeded(
+            seeded_vecs, q, k=3, n_cells=5, n_probe=2, seed_base=100
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"seeded IVF recall {recall}"
+
+
+def test_embedding_dup_bucketed_recall(spark, clustered_vecs):
+    """LSH-blocked near-dup pairs: a strict subset of the exact blocked
+    pairs (no false positives), with usable recall on tight clusters."""
+    from deepseek_ocr_spark.operators.similarity import embedding_dup_pairs
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_dup_pairs(
+            clustered_vecs, threshold=0.99, n_planes=0
+        ).collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_dup_pairs(
+            clustered_vecs, threshold=0.99, n_planes=4
+        ).collect()
+    }
+    assert bucketed <= exact
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(bucketed & exact) / len(exact)
+    assert recall >= 0.5, f"bucketed dup recall {recall}"
 
 
 def test_ivf_topk_recall(spark, clustered_vecs):

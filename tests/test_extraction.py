@@ -86,6 +86,33 @@ def test_pipeline_b_matches_oracle(spark, fixture_docs):
             assert g[k] == m[k], (doc_id, k, g[k], m[k])
 
 
+def test_pipeline_b_duplicate_offsets(spark):
+    """Spans sharing an offset: media numbering and ordering must break
+    ties by original array position, matching the oracle's stable sort
+    (ADVICE r1: previously two same-offset images shared a media_ref)."""
+    spans = [
+        {"kind": "text", "text": "intro ", "media_ref": None, "offset": 0},
+        {"kind": "image", "text": None, "media_ref": None, "offset": 5},
+        {"kind": "image", "text": None, "media_ref": None, "offset": 5},
+        {"kind": "text", "text": "tail", "media_ref": None, "offset": 5},
+        {"kind": "image", "text": None, "media_ref": None, "offset": 2},
+    ]
+    df = spark.createDataFrame(
+        [("dup-0", [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    g = extract_spans(df).collect()[0]
+    expect = oracle.oracle_spans_doc(spans)
+    assert [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]
+    ] == [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in expect["spans"]
+    ]
+    refs = [s["media_ref"] for s in g["spans"] if s["kind"] == "media"]
+    assert refs == ["images/0.jpg", "images/1.jpg", "images/2.jpg"]
+
+
 @pytest.mark.parametrize("seed", [7, 202, 9001])
 def test_pipeline_b_other_seeds(spark, seed):
     """Golden equality must hold for any corpus seed, not just the
