@@ -1501,6 +1501,7 @@ def d5_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vecs_with_planted_dups(spark, sf_dir),
         threshold=0.99,
         n_planes=_D5_PLANES,
+        dim=64,
     )
 
 
@@ -1624,6 +1625,7 @@ def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_planes=_S2_PLANES,
         n_probe=_S2_PROBE,
+        dim=64,
     )
 
 
