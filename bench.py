@@ -149,6 +149,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - total0, 3)
+
+    # BASELINE metric companion: exact span-sequence match rate (kind,
+    # text, media_ref, order) vs the reference-semantics Python oracle
+    # on a fixed 200-doc golden sample.
+    from deepseek_ocr_spark import oracle as _oracle
+
+    docs_reader = spark.read.parquet(docs_p)
+    sample = docs_reader.orderBy("doc_id").limit(200).collect()
+    sample_df = spark.createDataFrame(sample, schema=docs_reader.schema)
+    got = {r["doc_id"]: r for r in extract_spans(sample_df).collect()}
+    matches = 0
+    for r in sample:
+        exp = _oracle.oracle_spans_doc([s.asDict() for s in r["spans"]])["spans"]
+        g = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in got[r["doc_id"]]["spans"]
+        ]
+        e = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in exp]
+        matches += g == e
+    span_match_rate = round(matches / len(sample), 4)
     result = {
         "metric": "headline_suite_wall",
         "value": total,
@@ -161,6 +181,7 @@ def main() -> None:
         "extraction_docs_per_sec": round(
             N_DOCS / timings["pipeline_b_extract_spans"], 1
         ),
+        "span_match_rate": span_match_rate,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":

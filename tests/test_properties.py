@@ -59,6 +59,28 @@ def test_oracle_spans_invariants(spans):
     assert m["char_yield"] == sum(len(s["text"]) for s in out["spans"])
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=60),
+    st.integers(2, 5),
+    st.integers(1, 30),
+)
+def test_ngram_ban_prefix_form_equals_fullmatch_form(tokens, n, w):
+    """The reference processor's prefix-set formulation (ban token values
+    completing a repeated prefix) is equivalent to 'the full ngram ending
+    at t occurs starting in [t-w, t-n]' — the reformulation the
+    relational operator (operators/ngram_ban.py) joins on."""
+    got = set(oracle.oracle_ngram_ban(tokens, n, w))
+    exp = set()
+    for t in range(n, len(tokens)):
+        cur = tuple(tokens[t - n + 1 : t + 1])
+        for i in range(max(0, t - w), t - n + 1):
+            if tuple(tokens[i : i + n]) == cur:
+                exp.add(t)
+                break
+    assert got == exp
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.lists(st.tuples(TEXT, st.booleans()), min_size=0, max_size=6))
 def test_oracle_pdf_page_accounting(pages_spec):
