@@ -96,3 +96,14 @@ def test_whitelist_tokens_never_banned(spark):
 
 def test_window_smaller_than_ngram_bans_nothing(spark):
     assert _spark_positions(spark, ["a b a b a b a b"], 3, 2) == {}
+
+
+def test_degenerate_page_bounded_blowup(spark):
+    """A pathological all-identical-token page: every ngram is equal, but
+    the join fan-out is bounded by the window (each position matches at
+    most window-n+1 earlier starts), so the op completes fast and all
+    positions >= n are banned — matching the oracle."""
+    n_tok = 5000
+    text = " ".join(["loop"] * n_tok)
+    got = _spark_positions(spark, [text], 3, 50)
+    assert got == {"0": set(range(3, n_tok))}
