@@ -280,27 +280,35 @@ def minhash_lsh_pairs(
 
 
 def lsh_bucket_stats(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """One-row bucket health report for the MinHash-LSH band space:
     (n_buckets, n_multi, n_truncated, max_bucket). ``n_truncated`` > 0
     means LSH_BUCKET_CAP dropped candidate pairs in ``minhash_lsh_pairs``
-    — the observable form of the cap (module docstring)."""
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(F.col(text_col)).alias("sig"),
-    )
+    — the observable form of the cap (module docstring). Pass the SAME
+    hash_mode as the pair run being audited: the two hash families band
+    documents differently, so fast-mode stats say nothing about a
+    portable-mode run."""
+    if hash_mode == "portable":
+        sig_col = minhash_signature_portable(F.col(text_col))
+
+        def band_of(sig: Column, b: int) -> Column:
+            return _portable_band_sig(sig, b)
+
+    else:
+        sig_col = minhash_signature(F.col(text_col))
+
+        def band_of(sig: Column, b: int) -> Column:
+            return F.xxhash64(*[sig[b * LSH_ROWS + r] for r in range(LSH_ROWS)])
+
+    sig = docs.select(F.col(id_col).alias("doc_id"), sig_col.alias("sig"))
     bands = sig.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
+            F.array(*[band_of(F.col("sig"), b) for b in range(LSH_BANDS)])
         ).alias("band", "band_sig"),
     )
     sizes = bands.groupBy("band", "band_sig").agg(F.count("*").alias("n"))

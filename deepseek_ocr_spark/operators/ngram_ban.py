@@ -48,7 +48,16 @@ def ngram_ban_flags(
 
     Tokens are whitespace-split, case-sensitive (stand-ins for the
     reference's token ids). window_size < ngram_size bans nothing, as in
-    the reference (empty search range)."""
+    the reference (empty search range).
+
+    Preconditions / caching:
+    - tokens must not contain U+001F (SEP) — it is the ngram joiner, so
+      an embedded separator could alias two different token tuples to
+      one join key. Not regex-\\s, so it survives tokenization: strip it
+      upstream for binary-contaminated corpora.
+    - the exploded ngram table is persist()ed (it feeds both self-join
+      sides); as with operators/dedup.py, long-lived sessions invoking
+      this repeatedly should spark.catalog.clearCache() between corpora."""
     n = ngram_size
     # tokenize once (projection boundary keeps the split from being
     # re-evaluated per ngram by CollapseProject)

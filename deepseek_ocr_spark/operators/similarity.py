@@ -104,16 +104,31 @@ def hyperplane_margins(
     exactly that length instead of runtime-sliced from MAX_DIM (~2.5x
     cheaper — no per-row array copy per plane)."""
 
+    if dim is not None and dim > MAX_DIM:
+        raise ValueError(f"dim={dim} exceeds MAX_DIM={MAX_DIM} hyperplane width")
+
     def _proj(p: int) -> Column:
         w = (
             F.lit(HYPERPLANES[p][:dim])
             if dim is not None
             else F.slice(F.lit(HYPERPLANES[p]), 1, F.size(vec))
         )
-        return F.aggregate(
+        raw = F.aggregate(
             F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x,
+        )
+        # a vector wider than MAX_DIM would null-pad the zip and
+        # silently collapse every margin (and bucket) — fail loudly.
+        # Guard per projection (not around the array) so m[p] extraction
+        # still folds through CreateArray.
+        return F.when(F.size(vec) <= MAX_DIM, raw).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"embedding wider than MAX_DIM={MAX_DIM}; raise "
+                    "similarity.MAX_DIM / extend HYPERPLANES"
+                )
+            ).cast("double")
         )
 
     return F.array(*[_proj(p) for p in range(n_planes)])
@@ -241,6 +256,15 @@ def ivf_topk_seeded(
         (F.col(id_col) - seed_base).cast("int").alias("cell"),
         F.col(vec_col).alias("cvec"),
     )
+    # missing seed ids would silently empty (or under-cell) the index —
+    # validate up front (n_cells rows: trivially cheap)
+    n_seeds = cents.count()
+    if n_seeds < n_cells:
+        raise ValueError(
+            f"seeded IVF needs vec ids [{seed_base}, {seed_base + n_cells}) "
+            f"present; found {n_seeds}/{n_cells} — pick a seed_base the "
+            "corpus covers"
+        )
 
     def sq_l2(a: Column, b: Column) -> Column:
         return F.aggregate(

@@ -99,10 +99,14 @@ def run_extract_resumable(
             out.write.mode("overwrite").partitionBy("slice_id").parquet(
                 f"{out_dir}/spans"
             )
-            # metrics from the written output — the input is scanned once
-            written = spark.read.parquet(f"{out_dir}/spans").filter(
-                F.col("slice_id").isin([int(s) for s in todo])
-            )
+            # metrics from the written output — the input is scanned once.
+            # Schema passed explicitly: a run whose pending slices contain
+            # zero docs writes no part files, and schema inference would
+            # throw instead of committing n_docs=0 lineage rows. (Empty
+            # slices get a lineage row but no metrics row.)
+            written = spark.read.schema(out.schema).parquet(
+                f"{out_dir}/spans"
+            ).filter(F.col("slice_id").isin([int(s) for s in todo]))
             metrics = written.groupBy("slice_id").agg(
                 F.count("*").cast("bigint").alias("n_docs"),
                 F.sum("blocks_kept").cast("bigint").alias("blocks_kept"),

@@ -2173,9 +2173,13 @@ def sd1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isdir(src):
         stream_dir = src
     else:
-        # FileStreamSource requires a directory; stage the single file
-        # once per sf_dir (content is deterministic)
-        tag = hashlib.md5(src.encode()).hexdigest()[:10]
+        # FileStreamSource requires a directory; stage the single file.
+        # Cache key includes mtime+size so regenerated testdata at the
+        # same path is re-staged instead of streaming stale content.
+        st = os.stat(src)
+        tag = hashlib.md5(
+            f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+        ).hexdigest()[:12]
         stream_dir = f"{tempfile.gettempdir()}/sd1_src_{tag}"
         if not os.path.exists(f"{stream_dir}/documents.parquet"):
             os.makedirs(stream_dir, exist_ok=True)
@@ -2184,15 +2188,18 @@ def sd1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     out = streaming_exact_dedup_flat(stream, text_col="text")
     name = f"sd1_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sd1_ckpt_")
     q = (
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sd1_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
+    # the memory sink holds the rows; the per-run checkpoint is garbage
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).select(
         "digest",
         "doc_id",

@@ -84,8 +84,10 @@ def test_lsh_bucket_stats_surfaces_truncation(spark, dup_docs):
         [(i, "same text every time here") for i in range(LSH_BUCKET_CAP + 10)],
         "doc_id long, text string",
     )
-    s2 = lsh_bucket_stats(clones).collect()[0]
-    assert s2["n_truncated"] > 0 and s2["max_bucket"] == LSH_BUCKET_CAP + 10
+    for mode in ("fast", "portable"):
+        s2 = lsh_bucket_stats(clones, hash_mode=mode).collect()[0]
+        assert s2["n_truncated"] > 0, mode
+        assert s2["max_bucket"] == LSH_BUCKET_CAP + 10, mode
 
 
 @pytest.mark.parametrize("mode", ["fast", "portable"])
@@ -228,6 +230,32 @@ def test_embedding_dup_bucketed_recall(spark, clustered_vecs):
     assert exact, "fixture must contain near-dup pairs"
     recall = len(bucketed & exact) / len(exact)
     assert recall >= 0.5, f"bucketed dup recall {recall}"
+
+
+def test_guards_fail_loudly(spark, clustered_vecs, seeded_vecs):
+    """Silent-degradation paths must raise instead (code-review r2):
+    over-wide embeddings would null-collapse every LSH bucket; missing
+    IVF seed ids would empty the index."""
+    from deepseek_ocr_spark.operators.similarity import (
+        MAX_DIM,
+        hyperplane_bucket,
+        hyperplane_margins,
+        ivf_topk_seeded,
+    )
+
+    with pytest.raises(ValueError, match="MAX_DIM"):
+        hyperplane_margins(F.col("embedding"), 8, dim=MAX_DIM + 1)
+
+    wide = spark.createDataFrame(
+        [(0, [0.5] * (MAX_DIM + 4))], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="MAX_DIM"):
+        wide.select(hyperplane_bucket(F.col("embedding"), 4)).collect()
+
+    with pytest.raises(ValueError, match="seed_base"):
+        ivf_topk_seeded(
+            seeded_vecs, seeded_vecs.limit(1), n_cells=5, seed_base=5000
+        )
 
 
 def test_ivf_topk_recall(spark, clustered_vecs):

@@ -90,6 +90,25 @@ def test_resume_after_simulated_crash(spark, docs):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def test_resume_with_empty_pending_slices(spark, docs):
+    """A run whose pending slices hold zero docs must still commit
+    (n_docs=0 lineage rows), not crash on schema inference over an
+    empty partitioned write (code-review r2 finding)."""
+    out_dir = tempfile.mkdtemp(prefix="lineage_empty_")
+    try:
+        empty = docs.filter("1 = 0")
+        r1 = run_extract_resumable(spark, empty, out_dir)
+        assert r1["slices_committed_now"] == 16
+        lineage = spark.read.parquet(f"{out_dir}/lineage")
+        rows = {r["slice_id"]: r["n_docs"] for r in lineage.collect()}
+        assert rows == {i: 0 for i in range(16)}
+        # rerun is a no-op
+        r2 = run_extract_resumable(spark, empty, out_dir)
+        assert r2["slices_committed_now"] == 0 and r2["resumed"]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def test_streaming_equals_batch(spark, docs):
     from deepseek_ocr_spark.streaming.stream_extract import run_available_now
 
