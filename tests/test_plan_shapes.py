@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — lock in the scale properties PLANS.md
+documents so a refactor can't silently regress them: pipeline B stays a
+zero-shuffle zero-Python map, the bucketed/keyed joins stay equi-joins on
+their intended keys, dimension joins stay broadcast, and scans stay
+pruned."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark import corpus
+from deepseek_ocr_spark import queries as Q
+from deepseek_ocr_spark.operators.spans_pipeline import extract_spans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_b_zero_shuffle_zero_python(spark):
+    docs = corpus.spark_documents(spark, seed=42, n_docs=50)
+    plan = _plan(extract_spans(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_d5_join_keys_include_lsh_bucket(spark):
+    """VERDICT r1 #4 acceptance: no all-pairs join on label alone."""
+    plan = _plan(Q.d5_embedding_dup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join carries both the label and the bucket column
+    join_lines = [
+        ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_lines, plan[:2000]
+    assert any("bkt" in ln and "blk" in ln for ln in join_lines), join_lines
+
+
+def test_f1_is_equi_join_on_doc_and_ngram(spark):
+    plan = _plan(Q.f1_ngram_ban(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [ln for ln in plan.splitlines() if "HashJoin" in ln]
+    assert any("doc_id" in ln and "ng" in ln for ln in join_lines), join_lines
+
+
+def test_s2_joins_on_bucket_only(spark):
+    plan = _plan(Q.s2_knn_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    join_lines = [ln for ln in plan.splitlines() if "HashJoin" in ln]
+    assert any("bucket" in ln for ln in join_lines), join_lines
+
+
+def test_dim_join_broadcasts_and_prunes(spark):
+    plan = _plan(Q.q_join_part_type_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # lineitem scan reads a pruned column set, with join-key null filter pushed
+    assert "PushedFilters: [IsNotNull(l_partkey)]" in plan
+    assert "l_comment" not in plan
+
+
+def test_minhash_band_branch_ships_fixed_width_rows(spark):
+    """The band explosion must not carry the shingle array — only
+    (doc_id, band, band_sig) cross the exchange feeding the bucket agg."""
+    from deepseek_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} alpha beta gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(minhash_lsh_pairs(docs, hash_mode="portable"))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    band_ex = [ln for ln in exchanges if "band" in ln]
+    assert band_ex, exchanges
+    assert all("sh#" not in ln for ln in band_ex), band_ex
