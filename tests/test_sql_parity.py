@@ -66,6 +66,26 @@ def test_minhash_portable_handles_short_docs(spark, short_docs):
     assert {(1, 2), (3, 4), (5, 6)} <= found
 
 
+def test_d3_full_query_parity_on_short_docs(spark, short_docs):
+    """The REGISTRY d3 query (planted-dup CTE + portable minhash + bands
+    + cap + verify) against its generated SQL on a corpus with <3-token
+    docs — exercises SQL_D3's short-doc fallback branch, which the
+    driver testdata never hits (the SQL_D2 lesson, ADVICE r1)."""
+    from deepseek_ocr_spark import queries as Q
+
+    _, p = short_docs
+    sf_dir = p.rsplit("/", 1)[0]  # dir containing documents.parquet
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in Q.d3_minhash_lsh(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    exp = set(con.execute(Q._sql_d3()).fetchall())
+    assert got == exp
+    assert got, "short-doc corpus must produce pairs"
+
+
 def test_portable_hash_matches_duckdb(spark):
     """The cross-engine hash primitive itself: identical values on a
     unicode-heavy sample."""
