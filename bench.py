@@ -115,6 +115,8 @@ def _scale_worker(cores: int, docs_path: str) -> None:
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from deepseek_ocr_spark import queries as Q
     from deepseek_ocr_spark.operators.extraction import extract_pdf
     from deepseek_ocr_spark.operators.spans_pipeline import extract_spans
@@ -183,6 +185,38 @@ def main() -> None:
         ),
         "span_match_rate": span_match_rate,
     }
+
+    # quality of the approximate scale paths (not just their speed):
+    # ANN recall@5 vs the exact baseline, planted near-dup recall of the
+    # minhash path (every 10th doc has a 1-word-perturbed copy).
+    def _pairs(name):
+        fn, _ = Q.REGISTRY[name]
+        return {(r[0], r[1]) for r in fn(spark, SF_DIR).collect()}
+
+    exact = _pairs("s1_knn_bruteforce")
+    result["ann_recall_lsh"] = round(len(exact & _pairs("s2_knn_lsh")) / len(exact), 4)
+    result["ann_recall_ivf"] = round(len(exact & _pairs("s3_knn_ivf")) / len(exact), 4)
+    d3_found = _pairs("d3_minhash_lsh")
+    planted = {
+        (r["doc_id"], r["doc_id"] + 1_000_000)
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    result["minhash_planted_recall"] = round(
+        len(planted & d3_found) / len(planted), 4
+    )
+    vplanted = {
+        (r["vec_id"], r["vec_id"] + 1_000_000)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id")
+        .collect()
+    }
+    result["embdup_planted_recall"] = round(
+        len(vplanted & _pairs("d5_embedding_dup")) / len(vplanted), 4
+    )
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         # north_rule scaling evidence: same job, two cluster sizes (N=8
