@@ -809,6 +809,82 @@ FROM pages GROUP BY doc_id
 # ---------------------------------------------------------------------------
 
 
+def c1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-cleaning pass (C4/Gopher-style): per-doc quality
+    gates (token count, mean word length, stopword presence) + exact-
+    dedup canonical selection, in ONE relational program — the
+    composition a training-data pipeline actually runs before
+    tokenization. All gates are column expressions; the canonical pick
+    is a min-over-digest window (shuffle key = fixed-width md5, never
+    the text)."""
+    df = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    base = df.select("doc_id", "text", toks.alias("toks"))
+    n = F.size("toks")
+    sum_wlen = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    mean_wlen = F.round(sum_wlen.cast("double") / n.cast("double"), 6)
+    n_stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = F.round(n_stop.cast("double") / n.cast("double"), 6)
+    feat = base.select(
+        "doc_id",
+        "text",
+        n.cast("bigint").alias("n_tokens"),
+        mean_wlen.alias("mean_wlen"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    w = Window.partitionBy(F.md5("text"))
+    canon = feat.withColumn(
+        "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    quality_ok = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_tokens") <= 10000)
+        & (F.col("mean_wlen") >= 2.0)
+        & (F.col("mean_wlen") <= 12.0)
+        & (F.col("stop_ratio") >= 0.01)
+    )
+    return canon.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "mean_wlen",
+        "stop_ratio",
+        quality_ok.alias("quality_ok"),
+        "is_canonical",
+        (quality_ok & F.col("is_canonical")).alias("kept"),
+    )
+
+
+SQL_C1 = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(text), '\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+    ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE), 6) AS mean_wlen,
+    ROUND(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio
+  FROM t
+),
+canon AS (
+  SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM feat
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  mean_wlen, stop_ratio,
+  (n_tokens BETWEEN 5 AND 10000 AND mean_wlen BETWEEN 2.0 AND 12.0
+   AND stop_ratio >= 0.01) AS quality_ok,
+  is_canonical,
+  (n_tokens BETWEEN 5 AND 10000 AND mean_wlen BETWEEN 2.0 AND 12.0
+   AND stop_ratio >= 0.01 AND is_canonical) AS kept
+FROM canon
+"""
+
+
 def a1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + regex word tokens."""
     df = _t(spark, sf_dir, "documents")
@@ -2290,6 +2366,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f2_eos_page_gate": (f2_eos_page_gate, SQL_F2),
     "t5_page_concat": (t5_page_concat, SQL_T5),
     "a1_token_count": (a1_token_count, SQL_A1),
+    "c1_corpus_clean": (c1_corpus_clean, SQL_C1),
     "a2_quality_score": (a2_quality_score, SQL_A2),
     "a4_fingerprint": (a4_fingerprint, SQL_A4),
     "d1_exact_dedup": (d1_exact_dedup, SQL_D1),
