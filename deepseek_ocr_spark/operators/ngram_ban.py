@@ -115,3 +115,52 @@ def ngram_ban_flags(
         .distinct()
     )
     return banned
+
+
+def apply_ngram_ban(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_size: int = 3,
+    window_size: int = 50,
+    whitelist: tuple[str, ...] = WHITELIST,
+) -> DataFrame:
+    """Suppression view of the ban: (doc_id, clean_text, n_kept,
+    n_banned) with banned-position tokens removed and the remainder
+    re-joined with single spaces. This is the post-hoc cleaning
+    composition (detect → drop) a degenerate-OCR filter runs; it is a
+    token-level view — original whitespace runs are not preserved.
+    Relational shape: token explode ⟕ banned positions (anti) →
+    per-doc ordered sort-agg, all keyed on doc_id."""
+    banned = ngram_ban_flags(
+        docs, text_col, id_col, ngram_size, window_size, whitelist
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+    )
+    kept = toks.join(banned, on=["doc_id", "pos"], how="left_anti")
+    n_banned = banned.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_banned")
+    )
+    out = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    return (
+        out.join(n_banned, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "clean_text",
+            "n_kept",
+            F.coalesce(F.col("n_banned"), F.lit(0).cast("bigint")).alias(
+                "n_banned"
+            ),
+        )
+    )

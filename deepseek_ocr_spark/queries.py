@@ -758,6 +758,73 @@ WHERE j.last_tok NOT IN ('<td>', '</td>')
 """
 
 
+def f1b_ngram_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 suppression composition: same augmented corpus and (3, 25)
+    params as f1_ngram_ban, with banned tokens REMOVED and the
+    remainder re-joined — the detect→drop cleaning pass (token-level
+    view; whitespace runs not preserved)."""
+    from .operators.ngram_ban import apply_ngram_ban
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.lit(_F1_SPIN)).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(_F1_TD)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = apply_ngram_ban(docs, ngram_size=3, window_size=25)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text",
+        "n_kept",
+        "n_banned",
+    )
+
+
+SQL_F1B = rf"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0 THEN ' {_F1_SPIN.strip()}' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' {_F1_TD.strip()}' ELSE '' END
+    AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS ord
+  FROM aug
+),
+ng AS (
+  SELECT a.doc_id, a.ord AS start,
+         a.tok || chr(31) || b.tok || chr(31) || c.tok AS ng, c.tok AS last_tok
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+),
+banned AS (
+  SELECT DISTINCT j.doc_id, j.start + 1 AS pos
+  FROM ng i JOIN ng j ON i.doc_id = j.doc_id AND i.ng = j.ng
+    AND j.start - i.start BETWEEN 1 AND 23
+  WHERE j.last_tok NOT IN ('<td>', '</td>')
+),
+kept AS (
+  SELECT t.doc_id, t.ord, t.tok
+  FROM toks t
+  LEFT JOIN banned b ON b.doc_id = t.doc_id AND b.pos = t.ord - 1
+  WHERE b.doc_id IS NULL
+),
+nb AS (SELECT doc_id, COUNT(*) AS n_banned FROM banned GROUP BY doc_id)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+  string_agg(k.tok, ' ' ORDER BY k.ord) AS clean_text,
+  CAST(COUNT(*) AS BIGINT) AS n_kept,
+  CAST(MAX(COALESCE(nb.n_banned, 0)) AS BIGINT) AS n_banned
+FROM kept k LEFT JOIN nb ON nb.doc_id = k.doc_id
+GROUP BY k.doc_id
+"""
+
+
 def t5_page_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: per-DOC ordered page concatenation (the page-split join of
     run_dpsk_ocr_pdf.py:296-298). Keyed on doc_id — group size is
@@ -2363,6 +2430,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x5b_media_ref_multipage": (x5b_media_ref_multipage, SQL_X5B),
     "x6_clean_rewrite": (x6_clean_rewrite, SQL_X6),
     "f1_ngram_ban": (f1_ngram_ban, SQL_F1),
+    "f1b_ngram_suppress": (f1b_ngram_suppress, SQL_F1B),
     "f2_eos_page_gate": (f2_eos_page_gate, SQL_F2),
     "t5_page_concat": (t5_page_concat, SQL_T5),
     "a1_token_count": (a1_token_count, SQL_A1),

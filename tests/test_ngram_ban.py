@@ -98,6 +98,31 @@ def test_window_smaller_than_ngram_bans_nothing(spark):
     assert _spark_positions(spark, ["a b a b a b a b"], 3, 2) == {}
 
 
+def test_apply_ngram_ban_matches_oracle_suppression(spark):
+    """clean_text must equal the token sequence with oracle-banned
+    positions dropped, joined by single spaces."""
+    from deepseek_ocr_spark.operators.ngram_ban import apply_ngram_ban
+
+    rnd = random.Random(99)
+    vocab = ["a", "b", "c"]
+    texts = [" ".join(rnd.choice(vocab) for _ in range(80)) for _ in range(8)]
+    texts.append("x y z q x y z <td> k </td> <td> k </td> <td> k </td>")
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_banned"])
+        for r in apply_ngram_ban(df, ngram_size=3, window_size=25).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split()
+        banned = set(
+            oracle.oracle_ngram_ban(toks, 3, 25, frozenset({"<td>", "</td>"}))
+        )
+        kept = [tok for p, tok in enumerate(toks) if p not in banned]
+        assert got[str(i)] == (" ".join(kept), len(kept), len(banned)), i
+
+
 def test_degenerate_page_bounded_blowup(spark):
     """A pathological all-identical-token page: every ngram is equal, but
     the join fan-out is bounded by the window (each position matches at
