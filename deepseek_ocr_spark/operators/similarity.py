@@ -225,73 +225,43 @@ def lsh_topk(
 IVF_FIT_SAMPLE = 100_000  # bounded k-means fit size (rows)
 
 
-def ivf_topk_seeded(
-    vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 2,
-    seed_base: int = 100,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF top-k with a DETERMINISTIC coarse quantizer: the centroids
-    are the corpus vectors with ids [seed_base, seed_base + n_cells)
-    (a zero-iteration quantizer — cell = nearest seed by squared L2,
-    ties broken by cell index). Every step is relational arithmetic, so
-    the DuckDB oracle (queries._sql_s3) reproduces it bit-for-bit; the
-    k-means variant (ivf_topk) trades that determinism for better cell
-    balance. Same probe mechanics: queries search their n_probe nearest
-    cells only.
-
-    Cell assignment is a broadcast join against the n_cells seed rows +
-    a per-vector argmin window — the big side shuffles once on vec_id,
-    or not at all when the dist array is computed literal-side (the
-    k-means path); here the seeds stay a DataFrame so the whole plan is
-    model-free and engine-portable.
-    """
-    cents = vectors.filter(
-        (F.col(id_col) >= seed_base) & (F.col(id_col) < seed_base + n_cells)
-    ).select(
-        (F.col(id_col) - seed_base).cast("int").alias("cell"),
-        F.col(vec_col).alias("cvec"),
+def _cell_distances(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared L2 distances to each centroid (inlined literal).
+    Each distance is a sequential left-to-right double fold — identical
+    arithmetic to the DuckDB oracle's list_sum (CLAUDE.md rule 2)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
     )
-    # missing seed ids would silently empty (or under-cell) the index —
-    # validate up front (n_cells rows: trivially cheap)
-    n_seeds = cents.count()
-    if n_seeds < n_cells:
-        raise ValueError(
-            f"seeded IVF needs vec ids [{seed_base}, {seed_base + n_cells}) "
-            f"present; found {n_seeds}/{n_cells} — pick a seed_base the "
-            "corpus covers"
-        )
 
-    def sq_l2(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                a,
-                b,
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
 
-    def assign(df: DataFrame, out_id: str, keep_vec: str, n: int) -> DataFrame:
-        d = df.select(
-            F.col(id_col).alias(out_id), F.col(vec_col).alias(keep_vec)
-        ).crossJoin(F.broadcast(cents))
-        d = d.withColumn("d", sq_l2(F.col(keep_vec), F.col("cvec")))
-        w = Window.partitionBy(out_id).orderBy(F.asc("d"), F.asc("cell"))
-        return (
-            d.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= n)
-            .select(out_id, keep_vec, "cell")
+def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Indices of the n nearest centroids, distance asc with cell-index
+    tiebreak (lexicographic struct sort ≡ ORDER BY d, cell)."""
+    d = _cell_distances(vec, centroids)
+    ranked = F.array_sort(
+        F.zip_with(
+            d,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda dist, i: F.struct(dist.alias("d"), i.alias("cell")),
         )
+    )
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
 
-    v = assign(vectors, "neighbor_id", "vec", 1)
-    q = assign(queries, "query_id", "qvec", n_probe)
+
+def _probe_and_rank(v: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Shared IVF tail: bucket-join vectors with exploded query probes,
+    cosine as the join residual, per-query top-k."""
     scored = v.join(F.broadcast(q), on="cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -311,6 +281,66 @@ def ivf_topk_seeded(
             "rank",
         )
     )
+
+
+def ivf_topk_seeded(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed_base: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer: the centroids
+    are the corpus vectors with ids [seed_base, seed_base + n_cells)
+    (a zero-iteration quantizer — cell = nearest seed by squared L2,
+    ties broken by cell index). Every step is relational arithmetic, so
+    the DuckDB oracle (queries._sql_s3) reproduces it bit-for-bit; the
+    k-means variant (ivf_topk) trades that determinism for better cell
+    balance. Same probe mechanics: queries search their n_probe nearest
+    cells only.
+
+    The n_cells seed vectors are collected driver-side (bounded,
+    deterministic — n_cells × dim floats) and inlined as literals, so
+    cell assignment is pure per-row column arithmetic in whole-stage
+    codegen: NO exchange before the probe join (VERDICT r2 fix #2 — the
+    r2 version crossJoined the seeds and ran a Window.partitionBy(vec_id)
+    argmin, shuffling 16N rows). Plan pinned by
+    tests/test_plan_shapes.py::test_s3_seeded_assignment_no_exchange.
+    """
+    seed_rows = (
+        vectors.filter(
+            (F.col(id_col) >= seed_base) & (F.col(id_col) < seed_base + n_cells)
+        )
+        .select(F.col(id_col).alias("sid"), F.col(vec_col).alias("cvec"))
+        .orderBy("sid")
+        .collect()
+    )
+    # missing seed ids would silently empty (or under-cell) the index —
+    # validate up front (n_cells rows: trivially cheap)
+    if len(seed_rows) < n_cells:
+        raise ValueError(
+            f"seeded IVF needs vec ids [{seed_base}, {seed_base + n_cells}) "
+            f"present; found {len(seed_rows)}/{n_cells} — pick a seed_base "
+            "the corpus covers"
+        )
+    # float→double widening here matches the old cast(float as double):
+    # both yield the exact float32 value, so results stay byte-identical
+    centroids = [[float(x) for x in r["cvec"]] for r in seed_rows]
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+    )
+    return _probe_and_rank(v, q, k)
 
 
 def ivf_topk(
@@ -346,64 +376,17 @@ def ivf_topk(
     model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
-    def cell_distances(vec: Column) -> Column:
-        """Array of squared L2 distances to each centroid (literal)."""
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, x: acc + x,
-                )
-                for c in centroids
-            ]
-        )
-
-    def nearest_cells(vec: Column, n: int) -> Column:
-        d = cell_distances(vec)
-        ranked = F.array_sort(
-            F.zip_with(
-                d,
-                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                lambda dist, i: F.struct(dist.alias("d"), i.alias("cell")),
-            )
-        )
-        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
-
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        nearest_cells(F.col(vec_col), 1)[0].alias("cell"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
     )
-    scored = v.join(F.broadcast(q), on="cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("query_id").cast("bigint").alias("query_id"),
-            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
-            "sim",
-            "rank",
-        )
-    )
+    return _probe_and_rank(v, q, k)
 
 
 def embedding_dup_pairs(

@@ -53,6 +53,26 @@ def test_s2_joins_on_bucket_only(spark):
     assert any("bucket" in ln for ln in join_lines), join_lines
 
 
+def test_s3_seeded_assignment_no_exchange(spark):
+    """VERDICT r2 fix #2 acceptance: seeded-IVF cell assignment is pure
+    literal arithmetic — no Exchange may appear before the probe join.
+    The only exchanges in the whole plan are the two the top-k ranking
+    legitimately needs (window partitionBy(query_id) + its sort)."""
+    plan = _plan(Q.s3_knn_ivf(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [cell" in plan  # probe join, corpus side streamed
+    # the ONLY shuffle is the final top-k window's repartition by query_id;
+    # the r2 shape had an extra Exchange hashpartitioning(vec_id) argmin
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1 and "query_id" in shuffles[0], shuffles
+    # and no per-vector argmin window survives (the r2 shape ranked rk<=n
+    # over partitionBy(vec_id)); the only window keys on query_id
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows and all("query_id" in ln for ln in windows), windows
+
+
 def test_dim_join_broadcasts_and_prunes(spark):
     plan = _plan(Q.q_join_part_type_revenue(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
