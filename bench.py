@@ -196,6 +196,20 @@ def main() -> None:
     exact = _pairs("s1_knn_bruteforce")
     result["ann_recall_lsh"] = round(len(exact & _pairs("s2_knn_lsh")) / len(exact), 4)
     result["ann_recall_ivf"] = round(len(exact & _pairs("s3_knn_ivf")) / len(exact), 4)
+    # the recall/scan tradeoff must be visible together: scanned fraction
+    # of the exhaustive Q*(N-1) pair space for the same s2 configuration
+    from deepseek_ocr_spark.operators.similarity import lsh_scan_stats
+    from deepseek_ocr_spark.queries import _S2_PLANES, _S2_PROBE, _S2_TABLES
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    result["ann_scan_fraction_lsh"] = lsh_scan_stats(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        n_planes=_S2_PLANES,
+        n_probe=_S2_PROBE,
+        n_tables=_S2_TABLES,
+        dim=64,
+    ).collect()[0]["scan_fraction"]
     d3_found = _pairs("d3_minhash_lsh")
     planted = {
         (r["doc_id"], r["doc_id"] + 1_000_000)

@@ -29,7 +29,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 8
-MAX_PLANES = 16
+# 32 planes: planes are drawn sequentially, so extending this list keeps
+# every existing plane's weights bit-identical (d3/d5 oracles pin them);
+# multi-table LSH assigns table t the plane block [t·p, t·p + p).
+MAX_PLANES = 32
 MAX_DIM = 256
 # Fixed ±1 hyperplane weights: literal on both engines (queries._sql_s2
 # inlines the same lists), sliced to the vector's dimensionality.
@@ -95,15 +98,27 @@ def cosine_topk(
 
 
 def hyperplane_margins(
-    vec: Column, n_planes: int = N_PLANES, dim: int | None = None
+    vec: Column,
+    n_planes: int = N_PLANES,
+    dim: int | None = None,
+    base: int = 0,
 ) -> Column:
     """array<double> of signed projections onto the literal ±1
-    hyperplanes, each a sequential left-to-right fold (cross-engine
-    byte-exact, CLAUDE.md rule 2). Pass ``dim`` when the embedding
-    dimensionality is known: the weight literal is then emitted at
-    exactly that length instead of runtime-sliced from MAX_DIM (~2.5x
-    cheaper — no per-row array copy per plane)."""
+    hyperplanes [base, base + n_planes), each a sequential left-to-right
+    fold (cross-engine byte-exact, CLAUDE.md rule 2). Pass ``dim`` when
+    the embedding dimensionality is known: the weight literal is then
+    emitted at exactly that length instead of runtime-sliced from
+    MAX_DIM (~2.5x cheaper — no per-row array copy per plane), and the
+    vector width is VERIFIED against it: a mismatched vector (either
+    direction) would null-pad the zip, fold every margin to NULL, and
+    silently collapse every bucket bit to 0 (ADVICE r2) — fail loudly
+    instead. ``base`` selects the plane block for multi-table LSH."""
 
+    if base + n_planes > MAX_PLANES:
+        raise ValueError(
+            f"plane block [{base}, {base + n_planes}) exceeds "
+            f"MAX_PLANES={MAX_PLANES}; extend HYPERPLANES"
+        )
     if dim is not None and dim > MAX_DIM:
         raise ValueError(f"dim={dim} exceeds MAX_DIM={MAX_DIM} hyperplane width")
 
@@ -118,27 +133,32 @@ def hyperplane_margins(
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x,
         )
-        # a vector wider than MAX_DIM would null-pad the zip and
-        # silently collapse every margin (and bucket) — fail loudly.
-        # Guard per projection (not around the array) so m[p] extraction
-        # still folds through CreateArray.
-        return F.when(F.size(vec) <= MAX_DIM, raw).otherwise(
-            F.raise_error(
-                F.lit(
-                    f"embedding wider than MAX_DIM={MAX_DIM}; raise "
-                    "similarity.MAX_DIM / extend HYPERPLANES"
-                )
-            ).cast("double")
+        # wrong-width vectors would null-pad the zip and silently
+        # collapse every margin (and bucket) — fail loudly. Guard per
+        # projection (not around the array) so m[p] extraction still
+        # folds through CreateArray.
+        ok = F.size(vec) == dim if dim is not None else F.size(vec) <= MAX_DIM
+        msg = (
+            f"embedding width != declared dim={dim}"
+            if dim is not None
+            else f"embedding wider than MAX_DIM={MAX_DIM}; raise "
+            "similarity.MAX_DIM / extend HYPERPLANES"
+        )
+        return F.when(ok, raw).otherwise(
+            F.raise_error(F.lit(msg)).cast("double")
         )
 
-    return F.array(*[_proj(p) for p in range(n_planes)])
+    return F.array(*[_proj(base + j) for j in range(n_planes)])
 
 
 def hyperplane_bucket(
-    vec: Column, n_planes: int = N_PLANES, dim: int | None = None
+    vec: Column,
+    n_planes: int = N_PLANES,
+    dim: int | None = None,
+    base: int = 0,
 ) -> Column:
     """LSH bucket id: sign pattern of the n_planes projections."""
-    m = hyperplane_margins(vec, n_planes, dim)
+    m = hyperplane_margins(vec, n_planes, dim, base)
     bucket = F.lit(0)
     for p in range(n_planes):
         bucket = bucket + F.when(m[p] > 0, F.lit(2**p)).otherwise(F.lit(0))
@@ -150,11 +170,12 @@ def probe_buckets(
     n_planes: int = N_PLANES,
     n_probe: int = 2,
     dim: int | None = None,
+    base: int = 0,
 ) -> Column:
     """Multi-probe bucket list: the primary bucket plus single-bit flips
     of the n_probe-1 weakest planes (smallest |margin|, plane-index
     tiebreak) — the standard multi-probe LSH recall recovery."""
-    m = hyperplane_margins(vec, n_planes, dim)
+    m = hyperplane_margins(vec, n_planes, dim, base)
     bucket = F.lit(0)
     for p in range(n_planes):
         bucket = bucket + F.when(m[p] > 0, F.lit(2**p)).otherwise(F.lit(0))
@@ -174,44 +195,100 @@ def probe_buckets(
     return F.concat(F.array(bucket), flips)
 
 
+def _lsh_sides(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(vector-side, query-side) bucketed frames for multi-table LSH.
+    Table t hashes with plane block [t·p, t·p+p); its bucket ids live in
+    the disjoint integer range [t·2^p, (t+1)·2^p), so a single int join
+    key carries (table, pattern) with no composite-key cost."""
+
+    def _with_offset(t: int):
+        off = t * 2**n_planes
+        # closure factory, NOT a default-arg lambda (CLAUDE.md rule 3)
+        return lambda b: (b + F.lit(off)).cast("int")
+
+    vb = F.array(
+        *[
+            (
+                hyperplane_bucket(F.col(vec_col), n_planes, dim, base=t * n_planes)
+                + F.lit(t * 2**n_planes)
+            ).cast("int")
+            for t in range(n_tables)
+        ]
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(vb).alias("bucket"),
+    )
+    qb = F.concat(
+        *[
+            F.transform(
+                probe_buckets(
+                    F.col(vec_col), n_planes, n_probe, dim, base=t * n_planes
+                ),
+                _with_offset(t),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(qb).alias("bucket"),
+    )
+    return v, q
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_planes: int = N_PLANES,
     n_probe: int = 2,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's probe
-    set (primary LSH bucket + n_probe-1 weakest-sign flips). A vector
-    lives in exactly one bucket and the probe buckets are distinct, so
-    no candidate appears twice — no dedup pass needed. Recall vs the
-    exact baseline is measured in tests."""
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    """Approximate top-k: candidates restricted to the query's probe set
+    — per table, the primary LSH bucket plus n_probe-1 weakest-sign
+    flips. n_tables>1 is the production recall shape (VERDICT r2 #4):
+    L INDEPENDENT hash tables (disjoint plane blocks) OR'd together,
+    exactly the band-OR structure d3's MinHash-LSH uses; scan fraction
+    grows ~linearly in L while miss probability decays exponentially.
+    Within one table a vector lives in exactly one bucket and the probe
+    buckets are distinct, so duplicates only arise across tables —
+    deduped per (query, neighbor) pair before ranking (skipped entirely
+    at n_tables=1). Recall/scan-fraction measured in bench.py
+    (ann_recall_lsh, ann_scan_fraction_lsh) and tests."""
+    v, q = _lsh_sides(
+        vectors, queries, n_planes, n_tables, n_probe, id_col, vec_col, dim
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(
-            probe_buckets(F.col(vec_col), n_planes, n_probe, dim)
-        ).alias("bucket"),
-    )
-    scored = v.join(F.broadcast(q), on="bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.select(
+    scored = (
+        v.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("sim"),
         )
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+    if n_tables > 1:
+        # sim is a pure function of the pair, so distinct-on-all-three
+        # ≡ dedup on (query_id, neighbor_id)
+        scored = scored.distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(
             F.col("query_id").cast("bigint").alias("query_id"),
@@ -219,6 +296,40 @@ def lsh_topk(
             "sim",
             "rank",
         )
+    )
+
+
+def lsh_scan_stats(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_planes: int = N_PLANES,
+    n_probe: int = 2,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """One row: (n_candidates, n_exhaustive, scan_fraction) — the
+    distinct (query, neighbor) pairs the probe set actually scores vs
+    the full Q·(N-1) brute-force scan. Reported next to recall in bench
+    so the recall/scan tradeoff is visible, not vibes."""
+    v, q = _lsh_sides(
+        vectors, queries, n_planes, n_tables, n_probe, id_col, vec_col, dim
+    )
+    cand = (
+        v.drop("vec")
+        .join(F.broadcast(q.drop("qvec")), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .count()
+    )
+    n_q = queries.count()
+    n_v = vectors.count()
+    total = n_q * (n_v - 1)
+    return vectors.sparkSession.createDataFrame(
+        [(cand, total, round(cand / max(total, 1), 4))],
+        "n_candidates long, n_exhaustive long, scan_fraction double",
     )
 
 

