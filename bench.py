@@ -232,6 +232,61 @@ def main() -> None:
         len(vplanted & _pairs("d5_embedding_dup")) / len(vplanted), 4
     )
 
+    # degenerate-page F1 at the reference's (20,50) params (VERDICT r2
+    # #6): 5% of docs are a 3-token cycle repeated 800x — each carries
+    # ~790-multiplicity ngram keys, the exact shape that made the r2
+    # self-join enumerate ~600k pairs per key. The lag-window form is
+    # multiplicity-linear; max per-key multiplicity is reported so the
+    # bounded-blowup claim is a measurement, not prose.
+    from deepseek_ocr_spark.operators.ngram_ban import SEP, ngram_ban_flags
+
+    n_deg_docs = max(N_DOCS // 4, 1000)
+    deg_docs = spark.range(n_deg_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 20 == 0,
+            F.rtrim(F.repeat(F.lit("lorem ipsum dolor "), 800)),
+        )
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(199)),
+                    lambda j: F.concat(
+                        F.lit("w"), ((F.col("id") * 7 + j * 13) % 997).cast("string")
+                    ),
+                ),
+                " ",
+            )
+        )
+        .alias("text"),
+    )
+    deg_path = _corpus_path("f1deg", n_deg_docs)
+    if not os.path.exists(deg_path):
+        deg_docs.write.mode("overwrite").parquet(deg_path)
+    deg = spark.read.parquet(deg_path)
+    deg.count()  # warm scan
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _run(ngram_ban_flags(deg, ngram_size=20, window_size=50))
+        best = min(best, time.time() - t0)
+    result["f1_degenerate_sec"] = round(best, 3)
+    result["f1_degenerate_docs"] = n_deg_docs
+    # max per-(doc, ngram) key multiplicity actually present in the corpus
+    toks = F.split(F.col("text"), r"\s+")
+    span = F.size(toks) - 19
+    sl = [F.slice(toks, k + 1, span) for k in range(20)]
+    zipped = sl[0]
+    for k in range(1, 20):
+        zipped = F.zip_with(zipped, sl[k], lambda x, y: F.concat(x, F.lit(SEP), y))
+    result["f1_degenerate_max_multiplicity"] = (
+        deg.select(F.col("doc_id"), F.explode(zipped).alias("ng"))
+        .groupBy("doc_id", "ng")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         # north_rule scaling evidence: same job, two cluster sizes (N=8
         # cores vs 4N=32 cores), fresh JVM each. The job must be large

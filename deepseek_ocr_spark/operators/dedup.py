@@ -14,10 +14,11 @@ deterministic across partitionings) — no Python in any hot path.
   the quadratic pair fan-out (standard practice; truncation is
   observable via ``lsh_bucket_stats`` — run it when cap loss matters).
 
-Caching note: the pair operators ``persist()`` their signature table
-(it feeds the band branch plus two verify probes). The cache lives
-until the session drops it; long-lived sessions invoking these
-repeatedly should ``spark.catalog.clearCache()`` between corpora.
+Caching note: the pair operators persist their signature table (it
+feeds the band branch plus two verify probes) via _cache.persist_swap —
+each invocation releases the previous one's cache, so repeated runs
+hold steady-state storage (test-pinned); _cache.release() drops the
+last one when the dedup layer is done.
 - SimHash: 64-bit signature from per-bit majority vote of token
   hashes; near-dup candidates share one of 4 16-bit chunks
   (Hamming ≤ 3 ⇒ at least one chunk equal by pigeonhole when the 3
@@ -30,6 +31,8 @@ import random as _random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ._cache import persist_swap
 
 MINHASH_K = 64
 LSH_BANDS = 16
@@ -251,11 +254,14 @@ def minhash_lsh_pairs(
         def band_of(sig: Column, b: int) -> Column:
             return F.xxhash64(*[sig[b * LSH_ROWS + r] for r in range(LSH_ROWS)])
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        sh_col.alias("sh"),
-        sig_col.alias("sig"),
-    ).persist()
+    base = persist_swap(
+        "minhash_sig",
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            sh_col.alias("sh"),
+            sig_col.alias("sig"),
+        ),
+    )
     bands = base.select(
         "doc_id",
         F.posexplode(
@@ -383,9 +389,10 @@ def simhash_pairs(
         if hash_mode == "portable"
         else simhash(F.col(text_col))
     )
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"), sig_col.alias("bits")
-    ).persist()
+    sig = persist_swap(
+        "simhash_sig",
+        docs.select(F.col(id_col).alias("doc_id"), sig_col.alias("bits")),
+    )
 
     def chunk_sig(c: int) -> Column:
         if hash_mode == "portable":

@@ -10,13 +10,16 @@ tokens and whose last token equals s[t] — i.e. iff the full ngram
 ending at t already occurs, starting in [t-window, t-n]. Detection over
 a static token sequence is that rule under teacher forcing; in ngram
 start positions, start j is banned iff an equal ngram starts at some
-i with 1 <= j - i <= window - n + 1.
-
-That is a pure equi-join: explode ngrams with start positions, self-join
-within doc on ngram equality + the window distance predicate. The 100 TB
-shape: the shuffle key is (doc_id, ngram-hash) — no per-doc quadratic
-blowup (cost ~ sum of squared ngram-multiplicities, bounded by the
-window), no Python anywhere. The span-level consecutive-run collapse in
+i with 1 <= j - i <= window - n + 1. The NEAREST previous equal start decides
+it: if the nearest previous occurrence is farther than the window, every
+earlier one is too — so banned(j) ⟺ start - lag(start) <= max_gap over a
+window partitioned by (doc_id, ngram), ordered by start. The 100 TB
+shape: ONE shuffle on (doc_id, ngram), per-key cost O(M log M) in the
+ngram multiplicity M — the r2 self-join form enumerated M² pairs before
+its residual distance filter, which a single degenerate page
+("x " × 5000) blows up to 25M rows; the lag form is multiplicity-linear
+(measured: bench f1_degenerate line in BENCH.md). No Python anywhere.
+The span-level consecutive-run collapse in
 spans_pipeline._collapse_expr stays as the cheap zero-shuffle fast path;
 this operator is the faithful windowed-history form (a phrase repeated
 with one word in between IS caught here, as in the reference).
@@ -28,7 +31,7 @@ processor, across the reference's (ngram, window) parameter set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SEP = "\x1f"  # token joiner for ngram identity (tokens never contain \x1f)
@@ -50,14 +53,10 @@ def ngram_ban_flags(
     reference's token ids). window_size < ngram_size bans nothing, as in
     the reference (empty search range).
 
-    Preconditions / caching:
-    - tokens must not contain U+001F (SEP) — it is the ngram joiner, so
-      an embedded separator could alias two different token tuples to
-      one join key. Not regex-\\s, so it survives tokenization: strip it
-      upstream for binary-contaminated corpora.
-    - the exploded ngram table is persist()ed (it feeds both self-join
-      sides); as with operators/dedup.py, long-lived sessions invoking
-      this repeatedly should spark.catalog.clearCache() between corpora."""
+    Precondition: tokens must not contain U+001F (SEP) — it is the
+    ngram joiner, so an embedded separator could alias two different
+    token tuples to one ngram key. Not regex-\\s, so it survives
+    tokenization: strip it upstream for binary-contaminated corpora."""
     n = ngram_size
     # tokenize once (projection boundary keeps the split from being
     # re-evaluated per ngram by CollapseProject)
@@ -80,8 +79,6 @@ def ngram_ban_flags(
         sl[n - 1],
         lambda ng, last: F.struct(ng.alias("ng"), last.alias("last_tok")),
     )
-    # persisted: the self-join would otherwise rebuild the ngram table
-    # twice (at warehouse scale this is the materialized ngram index)
     flat = (
         tokenized.select(
             "doc_id",
@@ -94,25 +91,26 @@ def ngram_ban_flags(
             F.col("g.ng").alias("ng"),
             F.col("g.last_tok").alias("last_tok"),
         )
-        .persist()
     )
-    a, b = flat.alias("a"), flat.alias("b")
     max_gap = window_size - n + 1
+    # nearest-previous-occurrence form: start values are distinct within
+    # a doc (posexplode), so lag(start) < start and the >=1 distance
+    # bound holds by construction; banned iff the nearest previous equal
+    # ngram is within max_gap. One shuffle, no self-join, no persist
+    # (single consumer), multiplicity-linear on degenerate pages.
+    w = Window.partitionBy("doc_id", "ng").orderBy("start")
     banned = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.ng") == F.col("b.ng"))
-            & (F.col("b.start") - F.col("a.start") >= 1)
-            & (F.col("b.start") - F.col("a.start") <= max_gap),
+        flat.withColumn("prev", F.lag("start").over(w))
+        .filter(
+            F.col("prev").isNotNull()
+            & (F.col("start") - F.col("prev") <= max_gap)
         )
         .select(
-            F.col("b.doc_id").alias("doc_id"),
-            (F.col("b.start") + n - 1).cast("bigint").alias("pos"),
-            F.col("b.last_tok").alias("token"),
+            "doc_id",
+            (F.col("start") + n - 1).cast("bigint").alias("pos"),
+            F.col("last_tok").alias("token"),
         )
         .filter(~F.col("token").isin(*whitelist))
-        .distinct()
     )
     return banned
 

@@ -172,6 +172,31 @@ def test_lsh_multiprobe_improves_recall(spark, clustered_vecs):
     assert len(multi) >= len(single)
 
 
+def test_persisted_intermediates_do_not_accumulate(spark, dup_docs):
+    """VERDICT r2 #5 acceptance: consecutive invocations of the
+    persist()-ing operators hold steady-state cached storage — each run
+    releases its predecessor's intermediate (persist_swap), and
+    release() drops the last one."""
+    from deepseek_ocr_spark.operators import _cache
+    from deepseek_ocr_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    _cache.release()
+    base = n_persisted()
+    minhash_lsh_pairs(dup_docs).count()
+    simhash_pairs(dup_docs).count()
+    first = n_persisted()
+    assert first > base  # the caches exist at all
+    for _ in range(2):
+        minhash_lsh_pairs(dup_docs).count()
+        simhash_pairs(dup_docs).count()
+    assert n_persisted() == first, "cached storage grew across invocations"
+    _cache.release()
+    assert n_persisted() == base
+
+
 def test_lsh_multitable_dedups_and_never_hurts_recall(spark, clustered_vecs):
     """4 OR'd tables: (1) output has no duplicate (query, neighbor)
     rows despite cross-table collisions, (2) recall vs exact is >= the

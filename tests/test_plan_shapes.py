@@ -38,12 +38,19 @@ def test_d5_join_keys_include_lsh_bucket(spark):
     assert any("bkt" in ln and "blk" in ln for ln in join_lines), join_lines
 
 
-def test_f1_is_equi_join_on_doc_and_ngram(spark):
+def test_f1_is_windowed_lag_not_self_join(spark):
+    """r3 shape: the ban is a lag window over (doc_id, ngram) — the
+    nearest previous equal occurrence decides, so the r2 self-join
+    (M² pairs per repeated ngram before its residual distance filter)
+    is gone entirely. Degenerate pages cost O(M log M), not O(M²)."""
     plan = _plan(Q.f1_ngram_ban(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    join_lines = [ln for ln in plan.splitlines() if "HashJoin" in ln]
-    assert any("doc_id" in ln and "ng" in ln for ln in join_lines), join_lines
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert any("lag" in ln and "doc_id" in ln and "ng" in ln for ln in win_lines), (
+        win_lines
+    )
 
 
 def test_s2_joins_on_bucket_only(spark):
