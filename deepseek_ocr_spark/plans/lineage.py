@@ -12,11 +12,13 @@ Layout under a run directory (all three partitioned by slice_id):
 
 Resume protocol: a restarted run lists committed slice_ids from
 lineage/, subtracts them from the slice universe, and processes only
-the remainder — in ONE job over ONE scan of the input (dynamic
-partition overwrite keeps committed partitions untouched). Spans, then
-metrics, then lineage are written in that order, lineage last — a
-crash between writes leaves at worst uncommitted slices whose spans
-partitions are rewritten on rerun (overwrite, not duplicate).
+the remainder — in one job per COMMIT GROUP over one scan each (dynamic
+partition overwrite keeps committed partitions untouched; group size =
+all pending by default, smaller for finer checkpoint granularity — see
+run_extract_resumable). Spans, then metrics, then lineage are written
+in that order, lineage last — a crash between writes leaves at worst
+one uncommitted group whose spans partitions are rewritten on rerun
+(overwrite, not duplicate).
 
 At 10^12 docs the same protocol rides on Iceberg: slice commit =
 snapshot append with the lineage row in snapshot summary metadata, and
@@ -64,82 +66,105 @@ def run_extract_resumable(
     out_dir: str,
     n_slices: int = N_SLICES,
     fail_after_slices: int | None = None,
+    commit_group_size: int | None = None,
+    fail_after_groups: int | None = None,
 ) -> dict:
     """Extract spans for every doc not yet committed; returns run stats.
 
-    Single-input-scan shape: ALL pending slices are written by ONE job
-    (``partitionBy("slice_id")`` under dynamic partition overwrite, so
-    already-committed partitions are untouched and a crashed rerun
-    overwrites rather than duplicates). Per-slice metrics are then
-    aggregated from the *written output* (a scan of the small result,
-    never a rescan of the input), and the lineage rows are written LAST —
-    the commit point. At 10^12 docs this is the Iceberg shape: one append
-    job, snapshot commit per partition set, resume = anti-join against
-    the lineage table (module docstring).
+    Single-input-scan shape: a commit GROUP of pending slices is written
+    by ONE job (``partitionBy("slice_id")`` under dynamic partition
+    overwrite, so already-committed partitions are untouched and a
+    crashed rerun overwrites rather than duplicates). Per-slice metrics
+    are then aggregated from the *written output* (a scan of the small
+    result, never a rescan of the input), and the group's lineage rows
+    are written LAST — the commit point.
 
-    fail_after_slices: test hook — simulate a crash after N slice
-    commits (SURVEY §5 test plan (d): kill between snapshots ⇒ rerun
-    completes idempotently) by restricting this run to the first N
-    pending slices.
+    Checkpoint granularity (ADVICE r2): ``commit_group_size=None``
+    (default) runs ALL pending slices as one group — minimum scan cost,
+    but a crash mid-run commits nothing. Smaller groups trade extra
+    input scans (one per group, each pruned to the group's slices) for
+    partial progress: a crash loses at most one group's work. At 10^12
+    docs group ≈ a few hundred Iceberg partitions is the sweet spot;
+    here the default suits the bench and the grouped path is
+    crash-tested (tests/test_scale_layer.py).
+
+    fail_after_slices: test hook — restrict this run to the first N
+    pending slices (SURVEY §5 test plan (d)).
+    fail_after_groups: test hook — raise after N group commits,
+    simulating a mid-RUN kill with partial progress durably committed.
     """
     done = committed_slices(spark, out_dir)
     todo = sorted(set(range(n_slices)) - done)
     if fail_after_slices is not None:
         todo = todo[:fail_after_slices]
+    gsize = commit_group_size or len(todo) or 1
+    groups = [todo[i : i + gsize] for i in range(0, len(todo), gsize)]
+
+    def _commit_group(group: list[int], seq_base: int) -> None:
+        pending = assign_slices(docs, n_slices).filter(
+            F.col("slice_id").isin([int(s) for s in group])
+        )
+        out = extract_spans(pending, passthrough=("slice_id",))
+        out.write.mode("overwrite").partitionBy("slice_id").parquet(
+            f"{out_dir}/spans"
+        )
+        # metrics from the written output — the input is scanned once
+        # per group. Schema passed explicitly: a group whose slices
+        # contain zero docs writes no part files, and schema inference
+        # would throw instead of committing n_docs=0 lineage rows.
+        # (Empty slices get a lineage row but no metrics row.)
+        written = spark.read.schema(out.schema).parquet(
+            f"{out_dir}/spans"
+        ).filter(F.col("slice_id").isin([int(s) for s in group]))
+        metrics = written.groupBy("slice_id").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("blocks_kept").cast("bigint").alias("blocks_kept"),
+            F.sum("blocks_dropped").cast("bigint").alias("blocks_dropped"),
+            F.sum("parse_failures").cast("bigint").alias("parse_failures"),
+            F.sum("media_spans").cast("bigint").alias("media_spans"),
+            F.sum("char_yield").cast("bigint").alias("char_yield"),
+        )
+        metrics.write.mode("overwrite").partitionBy("slice_id").parquet(
+            f"{out_dir}/metrics"
+        )
+        # lineage rows LAST — the commit point. commit_seq is a
+        # driver-side monotonic counter continuing from prior runs
+        # (bounded collect: ≤ n_slices rows).
+        n_by_slice = {
+            r["slice_id"]: r["n_docs"]
+            for r in metrics.select("slice_id", "n_docs").collect()
+        }
+        lineage_rows = [
+            (int(sid), int(n_by_slice.get(sid, 0)), seq_base + i)
+            for i, sid in enumerate(group)
+        ]
+        spark.createDataFrame(
+            lineage_rows, "slice_id int, n_docs bigint, commit_seq bigint"
+        ).write.mode("overwrite").partitionBy("slice_id").parquet(
+            f"{out_dir}/lineage"
+        )
+
+    committed_now = 0
     if todo:
         prev_mode = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            pending = assign_slices(docs, n_slices).filter(
-                F.col("slice_id").isin([int(s) for s in todo])
-            )
-            out = extract_spans(pending, passthrough=("slice_id",))
-            out.write.mode("overwrite").partitionBy("slice_id").parquet(
-                f"{out_dir}/spans"
-            )
-            # metrics from the written output — the input is scanned once.
-            # Schema passed explicitly: a run whose pending slices contain
-            # zero docs writes no part files, and schema inference would
-            # throw instead of committing n_docs=0 lineage rows. (Empty
-            # slices get a lineage row but no metrics row.)
-            written = spark.read.schema(out.schema).parquet(
-                f"{out_dir}/spans"
-            ).filter(F.col("slice_id").isin([int(s) for s in todo]))
-            metrics = written.groupBy("slice_id").agg(
-                F.count("*").cast("bigint").alias("n_docs"),
-                F.sum("blocks_kept").cast("bigint").alias("blocks_kept"),
-                F.sum("blocks_dropped").cast("bigint").alias("blocks_dropped"),
-                F.sum("parse_failures").cast("bigint").alias("parse_failures"),
-                F.sum("media_spans").cast("bigint").alias("media_spans"),
-                F.sum("char_yield").cast("bigint").alias("char_yield"),
-            )
-            metrics.write.mode("overwrite").partitionBy("slice_id").parquet(
-                f"{out_dir}/metrics"
-            )
-            # lineage rows LAST — the commit point. commit_seq is a
-            # driver-side monotonic counter continuing from prior runs
-            # (bounded collect: ≤ n_slices rows).
-            n_by_slice = {
-                r["slice_id"]: r["n_docs"]
-                for r in metrics.select("slice_id", "n_docs").collect()
-            }
-            lineage_rows = [
-                (int(sid), int(n_by_slice.get(sid, 0)), len(done) + i)
-                for i, sid in enumerate(todo)
-            ]
-            spark.createDataFrame(
-                lineage_rows, "slice_id int, n_docs bigint, commit_seq bigint"
-            ).write.mode("overwrite").partitionBy("slice_id").parquet(
-                f"{out_dir}/lineage"
-            )
+            for gi, group in enumerate(groups):
+                if fail_after_groups is not None and gi >= fail_after_groups:
+                    raise RuntimeError(
+                        "simulated crash between group commits "
+                        f"({committed_now}/{len(todo)} slices committed)"
+                    )
+                _commit_group(group, seq_base=len(done) + committed_now)
+                committed_now += len(group)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return {
         "slices_total": n_slices,
         "slices_previously_done": len(done),
-        "slices_committed_now": len(todo),
+        "slices_committed_now": committed_now,
         "resumed": len(done) > 0,
     }
 

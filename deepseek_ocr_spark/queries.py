@@ -2329,7 +2329,16 @@ def sd1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet → one row per first-seen content digest with the suppressed
     duplicate count. Single-batch first-seen == min(doc_id) per digest,
     so the DuckDB oracle is a plain GROUP BY (VERDICT r1 #10). The
-    continuous multi-batch form is exercised in tests/test_stateful_dedup."""
+    continuous multi-batch form is exercised in tests/test_stateful_dedup.
+
+    CORRECTNESS-DRAIN ONLY: building this query *executes* the drain
+    (stages files, runs the streaming query, holds results in a memory
+    sink) — never a production path; the continuous operator is
+    streaming/stateful_dedup.streaming_exact_dedup. Single-batch
+    semantics are FORCED (maxFilesPerTrigger is pinned high) and
+    VERIFIED post-drain: duplicates that arrive after their first
+    sighting are suppressed-but-not-re-emitted in append mode, so a
+    split drain would silently undercount vs the oracle (ADVICE r2)."""
     import hashlib
     import os
     import shutil
@@ -2354,7 +2363,15 @@ def sd1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.makedirs(stream_dir, exist_ok=True)
             shutil.copy(src, f"{stream_dir}/documents.parquet")
     schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        # FileStreamSource default maxFilesPerTrigger (1000) would split
+        # a many-file directory into several micro-batches even under
+        # availableNow — pin it above any plausible file count so the
+        # drain is one batch (first-seen == min(doc_id), oracle-exact)
+        .option("maxFilesPerTrigger", str(1 << 20))
+        .parquet(stream_dir)
+    )
     out = streaming_exact_dedup_flat(stream, text_col="text")
     name = f"sd1_sink_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="sd1_ckpt_")
@@ -2369,6 +2386,12 @@ def sd1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # the memory sink holds the rows; the per-run checkpoint is garbage
     shutil.rmtree(ckpt, ignore_errors=True)
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if n_batches != 1:
+        raise RuntimeError(
+            f"sd1 drain split into {n_batches} micro-batches — append-mode "
+            "first-seen counts would undercount vs the single-batch oracle"
+        )
     return spark.table(name).select(
         "digest",
         "doc_id",

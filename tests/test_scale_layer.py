@@ -90,6 +90,34 @@ def test_resume_after_simulated_crash(spark, docs):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def test_resume_after_mid_run_kill_with_group_commits(spark, docs):
+    """ADVICE r2: grouped commit granularity restores TRUE mid-run crash
+    coverage — the run is killed BETWEEN group commits (an exception,
+    not a pre-restricted slice set), partial progress is durably
+    committed, and the rerun completes to a byte-identical result."""
+    out_dir = tempfile.mkdtemp(prefix="lineage_grp_")
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_extract_resumable(
+                spark, docs, out_dir, commit_group_size=4, fail_after_groups=2
+            )
+        # 2 groups of 4 slices survived the kill
+        committed = spark.read.parquet(f"{out_dir}/lineage")
+        assert committed.count() == 8
+        r2 = run_extract_resumable(spark, docs, out_dir, commit_group_size=4)
+        assert r2["resumed"] and r2["slices_previously_done"] == 8
+        assert r2["slices_committed_now"] == 8
+        resumed = {
+            r["doc_id"]: r["blocks_kept"] for r in read_result(spark, out_dir).collect()
+        }
+        direct = {
+            r["doc_id"]: r["blocks_kept"] for r in extract_spans(docs).collect()
+        }
+        assert resumed == direct
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def test_resume_with_empty_pending_slices(spark, docs):
     """A run whose pending slices hold zero docs must still commit
     (n_docs=0 lineage rows), not crash on schema inference over an
@@ -151,3 +179,59 @@ def test_repartition_salted_spreads_hot_key(spark, docs):
 
     # the hot host (~46% of docs) must not all land in one task
     assert max_partition(salted) < max_partition(plain)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """VERDICT r2 #7: AQE's skew-join split must demonstrably absorb a
+    Zipf-skewed join key (the complement of the manual salted-agg path
+    in plans/salting.py). One host carries ~94% of the left side; with
+    broadcast disabled the sort-merge join's hot partition exceeds the
+    (test-lowered) skew threshold and AQE rewrites the join with
+    skew=true in the final adaptive plan."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        # Zipf-ish: h0 has 150k events, h1..h49 have ~200 each
+        events = spark.range(160_000).select(
+            F.when(F.col("id") < 150_000, F.lit("h0"))
+            .otherwise(F.concat(F.lit("h"), (F.pmod(F.col("id"), 49) + 1).cast("string")))
+            .alias("host"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        hosts = spark.range(50).select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+            (F.col("id") * 10).alias("weight"),
+        )
+        # NB: no groupBy(host) downstream — AQE skips the skew split
+        # when the join output's hash partitioning is required by a
+        # later stage (it would have to re-shuffle the split partitions)
+        # payload (incompressible sha2 hex) must survive the projection:
+        # skew detection uses COMPRESSED map-output sizes, and a
+        # partition of 150k identical "h0" strings compresses below any
+        # sane threshold
+        joined = events.join(hosts, on="host").select("host", "payload", "weight")
+        rows = joined.collect()
+        assert len(rows) == 160_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
