@@ -38,7 +38,7 @@ def main() -> None:
         .select("doc_id", "n_chars"),
         "X5 (media resolution)": Q.x5_media_ref_resolution(spark, SF_DIR),
         "SALTED AGG": Q.q_salted_event_agg(spark, SF_DIR),
-        "F1 NGRAM BAN (windowed self-join)": Q.f1_ngram_ban(spark, SF_DIR),
+        "F1 NGRAM BAN (lag window)": Q.f1_ngram_ban(spark, SF_DIR),
         "D5 BUCKETED EMBEDDING DUP": Q.d5_embedding_dup(spark, SF_DIR),
         "S2 MULTIPROBE LSH": Q.s2_knn_lsh(spark, SF_DIR),
         "S3 SEEDED IVF": Q.s3_knn_ivf(spark, SF_DIR),
