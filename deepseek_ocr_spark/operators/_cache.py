@@ -25,10 +25,25 @@ _live: dict[str, DataFrame] = {}
 
 def persist_swap(key: str, df: DataFrame) -> DataFrame:
     """Persist ``df`` under ``key``, unpersisting whatever the previous
-    invocation of the same operator left cached."""
-    old = _live.pop(key, None)
+    invocation of the same operator left cached — UNLESS the new plan is
+    ``sameResult`` as the old one, in which case the existing cache is
+    kept and reused (CacheManager maps the new persist to the same
+    blocks). Repeated invocations over the same corpus therefore hit the
+    cache like plain persist() did, while a new corpus swaps the old
+    cache out instead of accumulating."""
+    old = _live.get(key)
     if old is not None:
-        old.unpersist()
+        try:
+            same = (
+                old._jdf.queryExecution()
+                .analyzed()
+                .sameResult(df._jdf.queryExecution().analyzed())
+            )
+        except Exception:
+            same = False
+        if not same:
+            _live.pop(key)
+            old.unpersist()
     _live[key] = df.persist()
     return df
 

@@ -42,6 +42,16 @@ HYPERPLANES = [
 ]
 
 
+def _dlit(xs) -> Column:
+    """Literal array<double> built from ONE SQL parse. F.lit(list)
+    converts element-by-element over py4j (~0.5 s per 64-float array,
+    measured) — with 24 hyperplanes on both join sides that put 7-9 s of
+    pure DataFrame-construction time on the driver before a single task
+    ran. repr() is shortest-round-trip, and Java's Double.parseDouble
+    returns the identical bits, so values are byte-equal to F.lit's."""
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -98,7 +108,7 @@ def cosine_topk(
 
 
 def hyperplane_margins(
-    vec: Column,
+    vec: Column | str,
     n_planes: int = N_PLANES,
     dim: int | None = None,
     base: int = 0,
@@ -112,7 +122,13 @@ def hyperplane_margins(
     vector width is VERIFIED against it: a mismatched vector (either
     direction) would null-pad the zip, fold every margin to NULL, and
     silently collapse every bucket bit to 0 (ADVICE r2) — fail loudly
-    instead. ``base`` selects the plane block for multi-table LSH."""
+    instead. ``base`` selects the plane block for multi-table LSH.
+
+    Pass ``vec`` as a COLUMN NAME (str) on hot construction paths: each
+    projection is then parsed from one SQL string (same Catalyst tree),
+    instead of ~40 py4j round-trips per plane assembling lambdas —
+    measured 7-9 s of driver-side DataFrame build time for the 4-table
+    s2 query with Column input, ~1 s with str."""
 
     if base + n_planes > MAX_PLANES:
         raise ValueError(
@@ -122,11 +138,41 @@ def hyperplane_margins(
     if dim is not None and dim > MAX_DIM:
         raise ValueError(f"dim={dim} exceeds MAX_DIM={MAX_DIM} hyperplane width")
 
+    if isinstance(vec, str):
+        vec = f"`{vec}`"
+
+        def _proj(p: int) -> Column:
+            warr = "array(" + ",".join(
+                repr(float(x)) + "D" for x in HYPERPLANES[p][:dim]
+            ) + ")"
+            if dim is not None:
+                w, ok = warr, f"size({vec}) = {dim}"
+                msg = f"embedding width != declared dim={dim}"
+            else:
+                w = f"slice({warr}, 1, size({vec}))"
+                ok = f"size({vec}) <= {MAX_DIM}"
+                msg = (
+                    f"embedding wider than MAX_DIM={MAX_DIM}; raise "
+                    "similarity.MAX_DIM / extend HYPERPLANES"
+                )
+            fold = (
+                f"aggregate(zip_with({vec}, {w}, (x, y) ->"
+                " CAST(x AS DOUBLE) * y), CAST(0.0D AS DOUBLE),"
+                " (acc, x) -> acc + x)"
+            )
+            # same guard-per-projection shape as the Column path
+            return F.expr(
+                f"CASE WHEN {ok} THEN {fold} ELSE"
+                f" CAST(raise_error('{msg}') AS DOUBLE) END"
+            )
+
+        return F.array(*[_proj(base + j) for j in range(n_planes)])
+
     def _proj(p: int) -> Column:
         w = (
-            F.lit(HYPERPLANES[p][:dim])
+            _dlit(HYPERPLANES[p][:dim])
             if dim is not None
-            else F.slice(F.lit(HYPERPLANES[p]), 1, F.size(vec))
+            else F.slice(_dlit(HYPERPLANES[p]), 1, F.size(vec))
         )
         raw = F.aggregate(
             F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
@@ -152,7 +198,7 @@ def hyperplane_margins(
 
 
 def hyperplane_bucket(
-    vec: Column,
+    vec: Column | str,
     n_planes: int = N_PLANES,
     dim: int | None = None,
     base: int = 0,
@@ -166,7 +212,7 @@ def hyperplane_bucket(
 
 
 def probe_buckets(
-    vec: Column,
+    vec: Column | str,
     n_planes: int = N_PLANES,
     n_probe: int = 2,
     dim: int | None = None,
@@ -218,7 +264,7 @@ def _lsh_sides(
     vb = F.array(
         *[
             (
-                hyperplane_bucket(F.col(vec_col), n_planes, dim, base=t * n_planes)
+                hyperplane_bucket(vec_col, n_planes, dim, base=t * n_planes)
                 + F.lit(t * 2**n_planes)
             ).cast("int")
             for t in range(n_tables)
@@ -233,7 +279,7 @@ def _lsh_sides(
         *[
             F.transform(
                 probe_buckets(
-                    F.col(vec_col), n_planes, n_probe, dim, base=t * n_planes
+                    vec_col, n_planes, n_probe, dim, base=t * n_planes
                 ),
                 _with_offset(t),
             )
@@ -345,7 +391,7 @@ def _cell_distances(vec: Column, centroids: list[list[float]]) -> Column:
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(x) for x in c]),
+                    _dlit(c),
                     lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
                 ),
                 F.lit(0.0).cast("double"),
@@ -525,9 +571,7 @@ def embedding_dup_pairs(
         F.col(vec_col).alias("vec"),
     ]
     if n_planes:
-        cols.append(
-            hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bkt")
-        )
+        cols.append(hyperplane_bucket(vec_col, n_planes, dim).alias("bkt"))
     v = vectors.select(*cols)
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a.blk") == F.col("b.blk")
