@@ -467,6 +467,29 @@ def ivf_topk_seeded(
     argmin, shuffling 16N rows). Plan pinned by
     tests/test_plan_shapes.py::test_s3_seeded_assignment_no_exchange.
     """
+    centroids = _collect_seed_centroids(
+        vectors, n_cells, seed_base, id_col, vec_col
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+    )
+    return _probe_and_rank(v, q, k)
+
+
+def _collect_seed_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    seed_base: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[float]]:
     seed_rows = (
         vectors.filter(
             (F.col(id_col) >= seed_base) & (F.col(id_col) < seed_base + n_cells)
@@ -485,19 +508,45 @@ def ivf_topk_seeded(
         )
     # float→double widening here matches the old cast(float as double):
     # both yield the exact float32 value, so results stay byte-identical
-    centroids = [[float(x) for x in r["cvec"]] for r in seed_rows]
+    return [[float(x) for x in r["cvec"]] for r in seed_rows]
 
+
+def ivf_scan_stats(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed_base: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seeded-IVF counterpart of lsh_scan_stats: one row with
+    (n_candidates, n_exhaustive, scan_fraction) for the same
+    configuration the s3 registry query probes with — recall and
+    scanned fraction belong in the same report."""
+    centroids = _collect_seed_centroids(
+        vectors, n_cells, seed_base, id_col, vec_col
+    )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vec"),
         _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
         F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
     )
-    return _probe_and_rank(v, q, k)
+    cand = (
+        v.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .count()
+    )
+    total = queries.count() * (vectors.count() - 1)
+    return vectors.sparkSession.createDataFrame(
+        [(cand, total, round(cand / max(total, 1), 4))],
+        "n_candidates long, n_exhaustive long, scan_fraction double",
+    )
 
 
 def ivf_topk(

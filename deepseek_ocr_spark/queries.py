@@ -544,7 +544,12 @@ FROM raw_docs
 def x5_media_ref_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: media spans numbered in match order per document →
     deterministic media_ref (run_dpsk_ocr_pdf.py:183-190,310-311).
-    posexplode keeps match order, so numbering is shuffle-free."""
+    posexplode keeps match order, so numbering is shuffle-free.
+
+    DOCUMENTED DEGENERATE CASE of x5b (single page, idx ≡ jdx, page 0
+    hardcode): kept as a library function + oracle SQL + m1's input,
+    but NOT registry-listed — x5b subsumes it and the registry is
+    capped at 50 entries (see REGISTRY ordering note)."""
     df = _raw(spark, sf_dir)
     return (
         df.select(
