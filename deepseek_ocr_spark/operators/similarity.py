@@ -42,14 +42,29 @@ HYPERPLANES = [
 ]
 
 
+def _drepr(x: float) -> str:
+    """One double value as a Spark SQL literal token. repr() is
+    shortest-round-trip and Java's Double.parseDouble returns the
+    identical bits; non-finite values (possible in collected seed
+    centroids / k-means output on dirty data) have no numeric-literal
+    form, so they are emitted as the CAST spellings Spark parses."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
 def _dlit(xs) -> Column:
     """Literal array<double> built from ONE SQL parse. F.lit(list)
     converts element-by-element over py4j (~0.5 s per 64-float array,
     measured) — with 24 hyperplanes on both join sides that put 7-9 s of
     pure DataFrame-construction time on the driver before a single task
-    ran. repr() is shortest-round-trip, and Java's Double.parseDouble
-    returns the identical bits, so values are byte-equal to F.lit's."""
-    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
+    ran. Values are byte-equal to F.lit's (see _drepr)."""
+    return F.expr("array(" + ",".join(_drepr(x) for x in xs) + ")")
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -143,7 +158,7 @@ def hyperplane_margins(
 
         def _proj(p: int) -> Column:
             warr = "array(" + ",".join(
-                repr(float(x)) + "D" for x in HYPERPLANES[p][:dim]
+                _drepr(x) for x in HYPERPLANES[p][:dim]
             ) + ")"
             if dim is not None:
                 w, ok = warr, f"size({vec}) = {dim}"

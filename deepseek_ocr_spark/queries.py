@@ -2391,8 +2391,10 @@ def sd1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # the memory sink holds the rows; the per-run checkpoint is garbage
     shutil.rmtree(ckpt, ignore_errors=True)
+    # >1 only: an empty corpus legitimately drains with zero data batches
+    # (and its empty result matches the oracle exactly)
     n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
-    if n_batches != 1:
+    if n_batches > 1:
         raise RuntimeError(
             f"sd1 drain split into {n_batches} micro-batches — append-mode "
             "first-seen counts would undercount vs the single-batch oracle"

@@ -98,3 +98,98 @@ def test_portable_hash_matches_duckdb(spark):
             "SELECT ('0x' || substr(md5(?), 1, 7))::BIGINT", [s]
         ).fetchone()
         assert got[s] == h, s
+
+
+def test_portable_signatures_column_vs_sql_forms(spark):
+    """r3 moved the portable minhash/simhash constructors to SQL-parsed
+    strings; the Column forms stay as the readable reference API. This
+    pins their equivalence permanently (code-review r3 finding: the
+    DuckDB oracle now only exercises the SQL strings)."""
+    from deepseek_ocr_spark.operators.dedup import (
+        _minhash_signature_portable_sql,
+        _portable_shingle_hashes_sql,
+        _simhash_portable_sql,
+        minhash_signature_portable,
+        shingles,
+        simhash_portable,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two"),
+            (3, "x"),
+            (4, "repeat repeat repeat repeat repeat repeat"),
+        ],
+        "doc_id long, text string",
+    )
+    col_form = docs.select(
+        "doc_id",
+        minhash_signature_portable(F.col("text")).alias("mh"),
+        simhash_portable(F.col("text")).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles(F.col("text")), portable_hash)
+        ).alias("shg"),
+    )
+    sql_form = docs.select(
+        "doc_id",
+        F.expr(_minhash_signature_portable_sql("`text`")).alias("mh"),
+        F.expr(_simhash_portable_sql("`text`")).alias("sh"),
+        F.expr(_portable_shingle_hashes_sql("`text`")).alias("shg"),
+    )
+    assert col_form.exceptAll(sql_form).count() == 0
+    assert sql_form.exceptAll(col_form).count() == 0
+
+
+def test_hyperplane_margins_str_vs_column_paths(spark):
+    """The str (SQL-parsed) and Column constructions of the hyperplane
+    margins must agree bitwise, for both fixed-dim and runtime-sliced
+    forms, and the str path must enforce the dim guard too."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from deepseek_ocr_spark.operators.similarity import (
+        _dlit,
+        hyperplane_margins,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 13) % 11) - 5.0 for j in range(16)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    for dim in (16, None):
+        a = vecs.select(
+            "vec_id",
+            hyperplane_margins(F.col("embedding"), 5, dim).alias("m"),
+        )
+        b = vecs.select(
+            "vec_id", hyperplane_margins("embedding", 5, dim).alias("m")
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, dim
+    with _pytest.raises(SparkRuntimeException, match="declared dim"):
+        vecs.select(hyperplane_margins("embedding", 4, dim=8)).collect()
+    # non-finite literals must construct and round-trip (code-review r3:
+    # repr() would emit unparseable 'nanD'/'infD')
+    got = spark.range(1).select(
+        _dlit([float("nan"), float("inf"), float("-inf"), 1.5]).alias("a")
+    ).collect()[0]["a"]
+    assert got[1] == float("inf") and got[2] == float("-inf") and got[3] == 1.5
+    assert got[0] != got[0]
+
+
+def test_x5_degenerate_sql_matches_duckdb(spark):
+    """x5 left the registry (folded into x5b) but its oracle SQL is kept
+    as the documented degenerate case — keep it executed, not rotting."""
+    from deepseek_ocr_spark import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark_rows = sorted(
+        tuple(r) for r in Q.x5_media_ref_resolution(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    duck_rows = sorted(tuple(r) for r in con.execute(Q.SQL_X5).fetchall())
+    assert spark_rows == duck_rows and len(spark_rows) > 0
