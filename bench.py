@@ -97,14 +97,42 @@ def _bench_extraction(spark, docs_path: str) -> tuple[float, int]:
     return time.time() - t0, n
 
 
-def _scale_worker(cores: int, docs_path: str) -> None:
-    """Subprocess entry: time the flagship extraction at local[cores]
-    (fresh JVM), best of 4 after warmup; prints one JSON line."""
+def _bench_minhash(spark, docs_path: str) -> tuple[float, int]:
+    """Time the MinHash-LSH dedup (fast hash mode) — the SHUFFLE-bearing
+    scaling job: band explosion → (band, band_sig) exchange → bucket agg
+    → verify joins. Complements the shuffle-free extraction job in the
+    two-cluster-size evidence."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.operators import _cache
+    from deepseek_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(docs_path).select(
+        "doc_id",
+        F.array_join(
+            F.transform("spans", lambda s: F.coalesce(s["text"], F.lit(""))),
+            " ",
+        ).alias("text"),
+    )
+    n = docs.count()
+    _cache.release()  # each timed run pays the full signature build
+    t0 = time.time()
+    _run(minhash_lsh_pairs(docs, hash_mode="fast"))
+    return time.time() - t0, n
+
+
+_SCALE_JOBS = {"extract": _bench_extraction, "minhash": _bench_minhash}
+
+
+def _scale_worker(cores: int, docs_path: str, job: str = "extract") -> None:
+    """Subprocess entry: time one scaling job at local[cores] (fresh
+    JVM), best of 4 after warmup; prints one JSON line."""
     from deepseek_ocr_spark.session import get_spark
 
-    s = get_spark(parallelism=cores, app_name=f"bench-scale-{cores}")
-    _bench_extraction(s, docs_path)  # warmup (JIT, codegen)
-    runs = [_bench_extraction(s, docs_path) for _ in range(4)]
+    fn = _SCALE_JOBS[job]
+    s = get_spark(parallelism=cores, app_name=f"bench-scale-{job}-{cores}")
+    fn(s, docs_path)  # warmup (JIT, codegen)
+    runs = [fn(s, docs_path) for _ in range(4)]
     # min-of-N: the sandbox VM sees sporadic host-level steal that can
     # stall a run 5-20x; the least-contended run is the honest capacity
     # number at each level.
@@ -327,26 +355,33 @@ def main() -> None:
         # state, which poisons timings.
         import subprocess
 
-        scaling = {}
-        for cores in (8, 32):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-worker",
-                 str(cores), scale_p],
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            scaling[str(cores)] = json.loads(out.stdout.strip().splitlines()[-1])
-        eff = (scaling["8"]["sec"] / scaling["32"]["sec"]) / 4.0
-        result["scaling"] = scaling
+        for job, key in (("extract", ""), ("minhash", "_minhash")):
+            scaling = {}
+            for cores in (8, 32):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--scale-worker", str(cores), scale_p, job],
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                scaling[str(cores)] = json.loads(
+                    out.stdout.strip().splitlines()[-1]
+                )
+            eff = (scaling["8"]["sec"] / scaling["32"]["sec"]) / 4.0
+            result[f"scaling{key}"] = scaling
+            result[f"scaling_efficiency_8_to_32{key}"] = round(eff, 3)
         result["scaling_docs"] = scale_docs
-        result["scaling_efficiency_8_to_32"] = round(eff, 3)
 
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
-        _scale_worker(int(sys.argv[2]), sys.argv[3])
+        _scale_worker(
+            int(sys.argv[2]),
+            sys.argv[3],
+            sys.argv[4] if len(sys.argv) > 4 else "extract",
+        )
     else:
         main()
