@@ -55,7 +55,7 @@ HEADLINE = [
     "s1_knn_bruteforce",
     "s2_knn_lsh",
     "s3_knn_ivf",
-    "a4_fingerprint",
+    "a1_token_fingerprint",
     "e1_embedding_norm",
 ]
 

@@ -1,4 +1,5 @@
-"""Tile-grid planning + vision-token budgeting (SURVEY §2.2 P1/P3/P7).
+"""Tile-grid planning, pad geometry + vision-token budgeting
+(SURVEY §2.2 P1/P3/P4/P6/P7).
 
 The reference picks a (w_tiles, h_tiles) grid per page minimizing
 |aspect_ratio − w/h| over grids with MIN_CROPS ≤ w·h ≤ MAX_CROPS
@@ -14,13 +15,17 @@ objective are broken by larger grid area then smaller w (the reference's
 tie-break order depends on Python set iteration order at
 image_process.py:32-34, which is not a stable public semantic).
 
-Everything is a pure column expression (explode candidates → window
-rank) — no UDFs, fully codegen'd, ~13 candidate rows per input row.
+Everything is a pure column expression — no UDFs, fully codegen'd. The
+grid argmin is a sequential fold over the 13 candidate structs (round 3;
+previously explode→window, which repartitioned N×13 rows by every page
+column — a full-corpus shuffle for per-row arithmetic). The fold's
+strict total order (diff asc, area desc, gw asc) picks the same winner
+the window's row_number did, so downstream oracles are unchanged.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MIN_CROPS = 2
@@ -52,26 +57,46 @@ def plan_grid(pages: DataFrame, w_col: str = "width", h_col: str = "height") -> 
     """Add (w_tiles, h_tiles, n_tiles, vision_tokens) to a page table.
 
     Small-image bypass: width and height both ≤ IMAGE_SIZE ⇒ (1, 1) grid,
-    token cost of a single tile view (P3 semantics)."""
-    cands = F.array(
+    token cost of a single tile view (P3 semantics).
+
+    Zero-shuffle: the 13-candidate argmin is a left-to-right fold seeded
+    with the first candidate; the comparator (diff <, then area >, then
+    gw <) is a strict total order over the candidate set, so the result
+    is iteration-order independent and equal to the former window-rank
+    formulation. Plan is Scan→Project only."""
+    ar = F.col(w_col).cast("double") / F.col(h_col).cast("double")
+
+    def scored(w_lit, h_lit):
+        # gw/gh are int literals; diff is computed against the row's ar
+        return F.struct(
+            w_lit.alias("gw"),
+            h_lit.alias("gh"),
+            F.abs(ar - w_lit.cast("double") / h_lit.cast("double")).alias("diff"),
+        )
+
+    def better(n, b):
+        n_area, b_area = n["gw"] * n["gh"], b["gw"] * b["gh"]
+        return (
+            (n["diff"] < b["diff"])
+            | ((n["diff"] == b["diff"]) & (n_area > b_area))
+            | ((n["diff"] == b["diff"]) & (n_area == b_area) & (n["gw"] < b["gw"]))
+        )
+
+    first_w, first_h = CANDIDATE_GRIDS[0]
+    rest = F.array(
         *[
             F.struct(F.lit(w).alias("gw"), F.lit(h).alias("gh"))
-            for (w, h) in CANDIDATE_GRIDS
+            for (w, h) in CANDIDATE_GRIDS[1:]
         ]
     )
-    ar = F.col(w_col).cast("double") / F.col(h_col).cast("double")
-    exploded = pages.withColumn("_c", F.explode(cands))
-    diff = F.abs(ar - F.col("_c.gw").cast("double") / F.col("_c.gh").cast("double"))
-    win = Window.partitionBy(*pages.columns).orderBy(
-        diff.asc(),
-        (F.col("_c.gw") * F.col("_c.gh")).desc(),
-        F.col("_c.gw").asc(),
+    best_expr = F.aggregate(
+        rest,
+        scored(F.lit(first_w), F.lit(first_h)),
+        lambda acc, c: F.when(
+            better(scored(c["gw"], c["gh"]), acc), scored(c["gw"], c["gh"])
+        ).otherwise(acc),
     )
-    best = (
-        exploded.withColumn("_rk", F.row_number().over(win))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
-    )
+    best = pages.withColumn("_c", best_expr)
     small = (F.col(w_col) <= IMAGE_SIZE) & (F.col(h_col) <= IMAGE_SIZE)
     w_tiles = F.when(small, F.lit(1)).otherwise(F.col("_c.gw"))
     h_tiles = F.when(small, F.lit(1)).otherwise(F.col("_c.gh"))
@@ -85,4 +110,170 @@ def plan_grid(pages: DataFrame, w_col: str = "width", h_col: str = "height") -> 
         h_tiles.cast("int").alias("h_tiles"),
         (w_tiles * h_tiles).cast("int").alias("n_tiles"),
         tokens.cast("bigint").alias("vision_tokens"),
+    )
+
+
+# ImageOps.pad fill = mean * 255 channel-wise, mean = (0.5, 0.5, 0.5)
+# (image_process.py:121,386-387)
+PAD_FILL = int(0.5 * 255)  # 127, all three channels
+
+
+def pad_plan(
+    pages: DataFrame,
+    w_col: str = "width",
+    h_col: str = "height",
+    base_size: int = BASE_SIZE,
+    cropping: bool = True,
+) -> DataFrame:
+    """P4: global-view pad geometry (image_process.py:386-387,
+    `ImageOps.pad(image, (base, base), color=mean*255)`) — pure
+    closed-form geometry, no pixel tensors by design: the emitted
+    columns reproduce PIL's contain-then-center-pad arithmetic exactly,
+    so a resize kernel can rebuild the padded canvas bit-identically and
+    padded-space coordinates invert to original pixels
+    (orig_x = (pad_x − pad_left) / scale).
+
+    PIL specifics mirrored: `contain` rounds the scaled minor dimension
+    with Python round() = half-to-even (rint); the centered paste offset
+    truncates via int() = floor for the non-negative slack. The
+    non-cropping direct-resize branch (image_process.py:382-384,
+    image_size ≤ 640 and not cropping) squares the source before the
+    pad, collapsing the plan to a full-canvas fit."""
+    if cropping:
+        src_w = F.col(w_col).cast("double")
+        src_h = F.col(h_col).cast("double")
+    else:
+        # direct resize to (IMAGE_SIZE, IMAGE_SIZE) before the pad
+        src_w = F.lit(float(IMAGE_SIZE))
+        src_h = F.lit(float(IMAGE_SIZE))
+    base = F.lit(float(base_size))
+    # contain: wider-than-square pins width, taller pins height
+    wide = src_w >= src_h
+    cw = F.when(wide, base).otherwise(F.rint(src_w / src_h * base))
+    ch = F.when(wide, F.rint(src_h / src_w * base)).otherwise(base)
+    left = F.floor((base - cw) / 2).cast("int")
+    top = F.floor((base - ch) / 2).cast("int")
+    return pages.select(
+        *pages.columns,
+        cw.cast("int").alias("content_w"),
+        ch.cast("int").alias("content_h"),
+        left.alias("pad_left"),
+        top.alias("pad_top"),
+        (F.lit(base_size) - cw.cast("int") - left).cast("int").alias("pad_right"),
+        (F.lit(base_size) - ch.cast("int") - top).cast("int").alias("pad_bottom"),
+        (cw / src_w).alias("scale"),
+        F.lit(PAD_FILL).alias("fill_r"),
+        F.lit(PAD_FILL).alias("fill_g"),
+        F.lit(PAD_FILL).alias("fill_b"),
+    )
+
+
+# BPE-ish text token estimator (GPT-2 pattern family, RE2/Java-portable
+# subset) — the reference's true BPE vocab is a model artifact; shared
+# with a1_token_count so both surfaces report the same estimate.
+BPE_PAT = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+_SEG_TYPE = "array<struct<kind:string,start:bigint,len:bigint,is_image:boolean>>"
+
+
+def token_layout(
+    pages: DataFrame,
+    w_col: str = "width",
+    h_col: str = "height",
+    text_col: str | None = None,
+    cropping: bool = True,
+    bos: bool = True,
+    eos: bool = True,
+) -> DataFrame:
+    """P6: tokenize-with-images → interleaved token-layout table
+    (image_process.py:330-470). The reference builds the literal token
+    id sequence; the distributed product is its layout — per page the
+    exact per-view token counts and the ordered segment map (kind,
+    start offset, length, image-mask flag) the decoder consumes.
+
+    Faithful token arithmetic: the global view always contributes
+    (Q_BASE+1)·Q_BASE+1 = 273 tokens (row separators + view separator,
+    image_process.py:428-429); tiling adds (Q_TILE·w+1)·(Q_TILE·h)
+    only when the grid exceeds 1×1 (:430-432); small images (≤640²)
+    and non-cropping mode keep crop_ratio = [1,1] (:363-375). Text
+    tokens are estimated with the engine's BPE-ish segmenter (the
+    reference's BPE vocab is a model artifact, not a public semantic);
+    the prompt's text split follows the image per the reference PROMPT
+    shape, so segments run bos → global_view → tiles → text → eos.
+
+    Pure column expressions end to end: the segment offsets come from a
+    sequential fold over the (constant-length) segment array — no UDF,
+    no shuffle."""
+    planned = plan_grid(pages, w_col=w_col, h_col=h_col)
+    tiled = (
+        (F.col("w_tiles") > 1) | (F.col("h_tiles") > 1)
+        if cropping
+        else F.lit(False)
+    )
+    w_t = F.when(F.lit(cropping), F.col("w_tiles")).otherwise(F.lit(1))
+    h_t = F.when(F.lit(cropping), F.col("h_tiles")).otherwise(F.lit(1))
+    tile_tokens = F.when(
+        tiled, (Q_TILE * w_t + 1) * (Q_TILE * h_t)
+    ).otherwise(F.lit(0)).cast("bigint")
+    text_tokens = (
+        F.size(F.regexp_extract_all(text_col, F.lit(BPE_PAT), 0)).cast("bigint")
+        if text_col is not None
+        else F.lit(0).cast("bigint")
+    )
+
+    def seg(kind: str, length, is_image: bool):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            length.cast("bigint").alias("len"),
+            F.lit(is_image).alias("is_image"),
+        )
+
+    segs = F.filter(
+        F.array(
+            seg("bos", F.lit(1 if bos else 0), False),
+            seg("global_view", F.lit(GLOBAL_TOKENS), True),
+            seg("tiles", tile_tokens, True),
+            seg("text", text_tokens, False),
+            seg("eos", F.lit(1 if eos else 0), False),
+        ),
+        lambda s: s["len"] > 0,
+    )
+    layout = F.aggregate(
+        segs,
+        F.struct(
+            F.lit(0).cast("bigint").alias("pos"),
+            F.array().cast(_SEG_TYPE).alias("out"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["pos"] + s["len"]).alias("pos"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        s["kind"].alias("kind"),
+                        acc["pos"].alias("start"),
+                        s["len"].alias("len"),
+                        s["is_image"].alias("is_image"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    image_tokens = (F.lit(GLOBAL_TOKENS).cast("bigint") + tile_tokens).alias(
+        "image_tokens"
+    )
+    return planned.select(
+        *pages.columns,
+        w_t.cast("int").alias("w_tiles"),
+        h_t.cast("int").alias("h_tiles"),
+        image_tokens,
+        text_tokens.alias("text_tokens"),
+        (
+            F.lit((1 if bos else 0) + (1 if eos else 0)).cast("bigint")
+            + F.lit(GLOBAL_TOKENS)
+            + tile_tokens
+            + text_tokens
+        ).alias("seq_len"),
+        layout.alias("segments"),
     )

@@ -330,8 +330,11 @@ FROM events GROUP BY CAST(ts AS DATE)
 """
 
 
-def q_setop_urgent_not_low(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference: customers with URGENT orders but no LOW orders."""
+def q_setops_priority_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (§2.7): EXCEPT (customers with URGENT orders but no
+    LOW orders) and INTERSECT (customers with both), tagged and unioned
+    into one result — both set ops exercised in a single registry slot
+    (the driver correctness report caps at 50 queries)."""
     o = _t(spark, sf_dir, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").cast("bigint").alias("custkey")
@@ -339,37 +342,29 @@ def q_setop_urgent_not_low(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
         F.col("o_custkey").cast("bigint").alias("custkey")
     )
-    return urgent.distinct().subtract(low)
-
-
-SQL_URGENT_NOT_LOW = """
-SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
-WHERE o_orderpriority = '1-URGENT'
-EXCEPT
-SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
-WHERE o_orderpriority = '5-LOW'
-"""
-
-
-def q_setop_both_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection: customers who placed both URGENT and LOW
-    orders."""
-    o = _t(spark, sf_dir, "orders")
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").cast("bigint").alias("custkey")
+    ex = urgent.distinct().subtract(low).select(
+        F.lit("except").alias("setop"), "custkey"
     )
-    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
-        F.col("o_custkey").cast("bigint").alias("custkey")
+    both = urgent.intersect(low).select(
+        F.lit("intersect").alias("setop"), "custkey"
     )
-    return urgent.intersect(low)
+    return ex.unionByName(both)
 
 
-SQL_BOTH_PRIORITIES = """
-SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
-WHERE o_orderpriority = '1-URGENT'
-INTERSECT
-SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
-WHERE o_orderpriority = '5-LOW'
+SQL_SETOPS = """
+SELECT 'except' AS setop, custkey FROM (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+  WHERE o_orderpriority = '5-LOW')
+UNION ALL
+SELECT 'intersect' AS setop, custkey FROM (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+  WHERE o_orderpriority = '5-LOW')
 """
 
 
@@ -683,6 +678,185 @@ FROM raw_docs
 """
 
 
+# S7 extra: one multi-box image ref appended to doc_id % 7 == 0 docs so
+# the PAGE-LEVEL box counter (draw semantics, run_dpsk_ocr_pdf.py:163,
+# 186-190) is exercised where it diverges from the per-match counter.
+_S7_MULTIBOX = "<|ref|>image<|/ref|><|det|>[[1,2,3,4],[5, 6, 7, 8]]<|/det|>"
+_S7_BOX_PAT = r"\[\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\]"
+
+
+def s7_annotation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: annotated-layout sink as a draw-plan table — per kept page,
+    per ref, per box: pixel rect, outline width, deterministic color,
+    label anchor, page-level image counter + crop path
+    (run_dpsk_ocr_pdf.py:151-215). Rasterization is the gated PIL kernel
+    (operators/annotate.py); the plan itself is the data product."""
+    from .operators.annotate import annotation_plan
+
+    pages = _raw(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit(0).cast("bigint").alias("page_no"),
+        F.concat(
+            F.col("raw"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_S7_MULTIBOX)).otherwise(
+                F.lit("")
+            ),
+        ).alias("content"),
+    )
+    plan = annotation_plan(pages, image_w=1280, image_h=1810)
+    return plan.select(
+        "doc_id",
+        F.col("jdx").cast("int").alias("jdx"),
+        F.col("ref_idx").cast("int").alias("ref_idx"),
+        F.col("box_idx").cast("int").alias("box_idx"),
+        "label",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        "outline_width",
+        "fill_alpha",
+        "color_r",
+        "color_g",
+        "color_b",
+        F.col("img_idx").cast("bigint").alias("img_idx"),
+        "label_x",
+        "label_y",
+        "crop_path",
+    )
+
+
+def _sql_s7() -> str:
+    b = _S7_BOX_PAT
+
+    def px(grp: int, dim: int) -> str:
+        return (
+            f"CAST(FLOOR(CAST(regexp_extract(box, '{b}', {grp}) AS BIGINT)"
+            f" / 999.0 * {dim}) AS BIGINT)"
+        )
+
+    return f"""
+WITH {RAW_DOCS_CTE},
+pages AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    replace(raw || CASE WHEN doc_id % 7 = 0 THEN '{_S7_MULTIBOX}' ELSE '' END,
+            '{EOS_SENTINEL}', '') AS c
+  FROM raw_docs WHERE contains(raw, '{EOS_SENTINEL}')
+),
+refs AS (
+  SELECT doc_id, CAST(r.range AS INTEGER) AS ref_idx,
+    regexp_extract_all(c, '{REF_PAT}', 1)[CAST(r.range AS INTEGER) + 1] AS label,
+    regexp_extract_all(c, '{REF_PAT}', 2)[CAST(r.range AS INTEGER) + 1] AS det
+  FROM pages, range(0, 8) r
+  WHERE r.range < len(regexp_extract_all(c, '{REF_PAT}', 1))
+),
+boxes AS (
+  SELECT doc_id, ref_idx, label, CAST(bx.range AS INTEGER) AS box_idx,
+    regexp_extract_all(det, '{b}')[CAST(bx.range AS INTEGER) + 1] AS box
+  FROM refs, range(0, 4) bx
+  WHERE bx.range < len(regexp_extract_all(det, '{b}'))
+),
+px AS (
+  SELECT doc_id, CAST(0 AS INTEGER) AS jdx, ref_idx, box_idx, label,
+    {px(1, 1280)} AS x1, {px(2, 1810)} AS y1,
+    {px(3, 1280)} AS x2, {px(4, 1810)} AS y2,
+    CAST(CASE WHEN label = 'title' THEN 4 ELSE 2 END AS INTEGER) AS outline_width,
+    CAST(20 AS INTEGER) AS fill_alpha,
+    md5(CAST(doc_id AS VARCHAR) || ':0:' || CAST(ref_idx AS VARCHAR)) AS h,
+    CASE WHEN label = 'image' THEN
+      CAST(SUM(CASE WHEN label = 'image' THEN 1 ELSE 0 END) OVER (
+        PARTITION BY doc_id ORDER BY ref_idx, box_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+    END AS img_idx
+  FROM boxes
+)
+SELECT doc_id, jdx, ref_idx, box_idx, label, x1, y1, x2, y2,
+  outline_width, fill_alpha,
+  CAST(CAST(('0x' || substr(h, 1, 2)) AS INTEGER) % 200 AS INTEGER) AS color_r,
+  CAST(CAST(('0x' || substr(h, 3, 2)) AS INTEGER) % 200 AS INTEGER) AS color_g,
+  CAST(CAST(('0x' || substr(h, 5, 2)) AS INTEGER) % 255 AS INTEGER) AS color_b,
+  img_idx,
+  x1 AS label_x,
+  GREATEST(0, y1 - 15) AS label_y,
+  CASE WHEN img_idx IS NOT NULL THEN
+    'images/0_' || CAST(img_idx AS VARCHAR) || '.jpg' END AS crop_path
+FROM px
+"""
+
+
+def s8_geometry_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: geometry-plot sink as the parsed elements table
+    (run_dpsk_ocr_image.py:250-300 re-plot loop). Payloads are built as
+    a pure function of doc_id in the reference's single-quoted dict
+    shape — three variants: full Line+Circle, Line-only with a 3-part
+    segment + junk entry (bare-except skip), and a malformed payload
+    (parse yields zero elements, never an error)."""
+    from .operators.annotate import geometry_elements
+
+    d = F.col("doc_id")
+    a, b_ = d % 90, (d * 3) % 90
+    c, e = a + 10, b_ + 20
+    r = d % 50
+    full = F.format_string(
+        "{'Line': {'line': ['(%d, %d) -- (%d, %d)', '(%d, %d) -- (%d, %d)'],"
+        " 'line_type': ['--'], 'line_endpoint': ['A: (%d, %d)', 'B: (%d, %d)']},"
+        " 'Circle': {'circle_center': ['O: (%d, %d)'], 'radius': [%d]}}",
+        a, b_, c, e, b_, a, e, c, a, b_, c, e, a, e, r,
+    )
+    line_only = F.format_string(
+        "{'Line': {'line': ['(%d, %d) -- (55, 55) -- (%d, %d)', 'garbage'],"
+        " 'line_endpoint': ['P: (%d, %d)']}}",
+        a, b_, c, e, b_, e,
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        d.cast("bigint").alias("doc_id"),
+        F.when(d % 3 == 0, full)
+        .when(d % 3 == 1, line_only)
+        .otherwise(F.lit("not a geometry payload"))
+        .alias("geometry"),
+    )
+    out = geometry_elements(docs)
+    return out.select(
+        "doc_id",
+        "kind",
+        F.col("idx").cast("int").alias("idx"),
+        "x0",
+        "y0",
+        "x1",
+        "y1",
+        "label",
+        "style",
+        "radius",
+    )
+
+
+SQL_S8 = """
+WITH v AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 3 AS variant,
+    CAST(doc_id % 90 AS DOUBLE) AS a, CAST((doc_id * 3) % 90 AS DOUBLE) AS b,
+    CAST(doc_id % 90 + 10 AS DOUBLE) AS c, CAST((doc_id * 3) % 90 + 20 AS DOUBLE) AS e,
+    CAST(doc_id % 50 AS DOUBLE) AS r
+  FROM documents
+)
+SELECT doc_id, 'line' AS kind, CAST(0 AS INTEGER) AS idx,
+  a AS x0, b AS y0, c AS x1, e AS y1,
+  CAST(NULL AS VARCHAR) AS label, '--' AS style, CAST(NULL AS DOUBLE) AS radius
+FROM v WHERE variant = 0
+UNION ALL
+SELECT doc_id, 'line', 1, b, a, e, c, NULL, '-', NULL FROM v WHERE variant = 0
+UNION ALL
+SELECT doc_id, 'endpoint', 0, a, b, NULL, NULL, 'A', NULL, NULL FROM v WHERE variant = 0
+UNION ALL
+SELECT doc_id, 'endpoint', 1, c, e, NULL, NULL, 'B', NULL, NULL FROM v WHERE variant = 0
+UNION ALL
+SELECT doc_id, 'circle', 0, a, e, NULL, NULL, 'O', NULL, r FROM v WHERE variant = 0
+UNION ALL
+SELECT doc_id, 'line', 0, a, b, c, e, NULL, '-', NULL FROM v WHERE variant = 1
+UNION ALL
+SELECT doc_id, 'endpoint', 0, b, e, NULL, NULL, 'P', NULL, NULL FROM v WHERE variant = 1
+"""
+
+
 def f2_eos_page_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 (SKIP_REPEAT): docs lacking the EOS sentinel are dropped; F3:
     sentinel stripped from the kept ones (run_dpsk_ocr_pdf.py:289-293)."""
@@ -957,10 +1131,18 @@ FROM canon
 """
 
 
-def a1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + regex word tokens."""
+def a1_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + document fingerprinting in one per-doc pass
+    (merged a1+a4, round 3 — one registry slot under the driver's
+    50-query report cap; both operators fully preserved). Tokens:
+    whitespace, regex word, and BPE-ish segment counts. Fingerprint:
+    md5 over a normalized prefix (rolling-hash class); fp group size and
+    canonical member arrive via a window over fp — the same shuffle-by-
+    fingerprint shape as the former groupBy, but the per-doc rows stay
+    observable."""
     df = _t(spark, sf_dir, "documents")
-    return df.select(
+    fp = F.md5(F.substring(F.regexp_replace("text", r"[^a-z0-9 ]", ""), 1, 64))
+    base = df.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(r"[a-z0-9]+"), 0))
@@ -976,60 +1158,83 @@ def a1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("bpe_tokens"),
+        fp.alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    return base.select(
+        "*",
+        F.count("*").over(w).cast("bigint").alias("n_docs_fp"),
+        F.min("doc_id").over(w).cast("bigint").alias("canonical_doc"),
     )
 
 
 SQL_A1 = r"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
-  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) AS BIGINT) AS bpe_tokens
-FROM documents
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+    CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) AS BIGINT) AS bpe_tokens,
+    md5(substr(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), 1, 64)) AS fp
+  FROM documents
+)
+SELECT *,
+  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_docs_fp,
+  CAST(MIN(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS canonical_doc
+FROM base
 """
 
 
-def a2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length + stopword-ratio features (jusText-style
-    block features, north_star)."""
+def a2_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + heuristic language ID in one per-doc pass
+    (merged a2+a3, round 3 — one registry slot under the driver's
+    50-query report cap; both operators fully preserved). Quality:
+    length + stopword-ratio block features (jusText-style, north_star).
+    Lang-ID: stopword-hit ratio on lowercased \\s+ tokens + non-ASCII
+    fraction (n-gram heuristic class; scoring only — corpus text is
+    synthetic)."""
     df = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_tok = F.size(toks).cast("double")
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    ltoks = F.split(F.lower("text"), r"\s+")
+    ln_tok = F.size(ltoks).cast("double")
+    hits = F.size(F.filter(ltoks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    ratio = F.round(hits / F.nullif(ln_tok, F.lit(0.0)), 6)
+    non_ascii = F.length(F.regexp_replace("text", r"[\x00-\x7F]", ""))
     return df.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.round(n_stop / F.nullif(n_tok, F.lit(0.0)), 6).alias("stop_ratio"),
         (F.col("n_chars") >= 200).alias("len_ok"),
+        "lang",
+        ratio.alias("stop_hit_ratio"),
+        non_ascii.cast("bigint").alias("non_ascii_chars"),
+        F.when(non_ascii > 0, "non_latin")
+        .when(ratio >= 0.05, "en_like")
+        .otherwise("unknown")
+        .alias("predicted"),
     )
 
 
 _SW = "('" + "','".join(STOPWORDS) + "')"
-SQL_A2 = f"""
+SQL_A2 = rf"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
   ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW})) AS DOUBLE)
         / NULLIF(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0), 6) AS stop_ratio,
-  n_chars >= 200 AS len_ok
+  n_chars >= 200 AS len_ok,
+  lang,
+  ROUND(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        t -> t IN {_SW})) AS DOUBLE)
+    / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0), 6)
+    AS stop_hit_ratio,
+  CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS BIGINT) AS non_ascii_chars,
+  CASE WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) > 0 THEN 'non_latin'
+       WHEN CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            t -> t IN {_SW})) AS DOUBLE)
+         / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0) >= 0.05
+       THEN 'en_like' ELSE 'unknown' END AS predicted
 FROM documents
-"""
-
-
-def a4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: md5 over a normalized prefix; groups are
-    duplicate candidates."""
-    df = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.substring(F.regexp_replace("text", r"[^a-z0-9 ]", ""), 1, 64))
-    return df.groupBy(fp.alias("fp")).agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.min("doc_id").cast("bigint").alias("canonical_doc"),
-    )
-
-
-SQL_A4 = r"""
-SELECT md5(substr(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), 1, 64)) AS fp,
-  CAST(COUNT(*) AS BIGINT) AS n_docs,
-  CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
-FROM documents GROUP BY 1
 """
 
 
@@ -1300,40 +1505,139 @@ FROM n
 """
 
 
-def a3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: stopword-hit ratio + non-ASCII fraction
-    (n-gram heuristic class; scoring only — corpus text is synthetic)."""
-    df = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), r"\s+")
-    n_tok = F.size(toks).cast("double")
-    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
-    ratio = F.round(hits / F.nullif(n_tok, F.lit(0.0)), 6)
-    non_ascii = F.length(F.regexp_replace("text", r"[\x00-\x7F]", ""))
-    return df.select(
+def p4_pad_token_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P6 composed: global-view pad geometry (ImageOps.pad
+    contain-then-center arithmetic, image_process.py:386-387) and the
+    interleaved token-layout table (tokenize-with-images,
+    image_process.py:330-470), exploded to one row per token segment.
+    Zero shuffle end to end: pad geometry, grid argmin (candidate fold),
+    token counts, and segment offsets are all pure column expressions."""
+    from .operators.tiling import pad_plan, token_layout
+
+    pages = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        "lang",
-        ratio.alias("stop_hit_ratio"),
-        non_ascii.cast("bigint").alias("non_ascii_chars"),
-        F.when(non_ascii > 0, "non_latin")
-        .when(ratio >= 0.05, "en_like")
-        .otherwise("unknown")
-        .alias("predicted"),
+        (320 + F.col("doc_id") % 2560).cast("bigint").alias("width"),
+        (240 + (F.col("doc_id") * 7) % 1920).cast("bigint").alias("height"),
+        "text",
+    )
+    laid = token_layout(pad_plan(pages), text_col="text")
+    return laid.select(
+        "doc_id",
+        "width",
+        "height",
+        "content_w",
+        "content_h",
+        "pad_left",
+        "pad_top",
+        "pad_right",
+        "pad_bottom",
+        "scale",
+        "fill_r",
+        "w_tiles",
+        "h_tiles",
+        "image_tokens",
+        "text_tokens",
+        "seq_len",
+        F.explode("segments").alias("_s"),
+    ).select(
+        *[
+            c
+            for c in (
+                "doc_id width height content_w content_h pad_left pad_top "
+                "pad_right pad_bottom scale fill_r w_tiles h_tiles "
+                "image_tokens text_tokens seq_len"
+            ).split()
+        ],
+        F.col("_s.kind").alias("kind"),
+        F.col("_s.start").alias("seg_start"),
+        F.col("_s.len").alias("seg_len"),
+        F.col("_s.is_image").alias("is_image"),
     )
 
 
-SQL_A3 = rf"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-  ROUND(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        t -> t IN {_SW})) AS DOUBLE)
-    / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0), 6)
-    AS stop_hit_ratio,
-  CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS BIGINT) AS non_ascii_chars,
-  CASE WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) > 0 THEN 'non_latin'
-       WHEN CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-            t -> t IN {_SW})) AS DOUBLE)
-         / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0) >= 0.05
-       THEN 'en_like' ELSE 'unknown' END AS predicted
-FROM documents
+def _sql_p4() -> str:
+    from .operators.tiling import (
+        BASE_SIZE,
+        GLOBAL_TOKENS,
+        IMAGE_SIZE,
+        PAD_FILL,
+        Q_TILE,
+    )
+
+    bpe = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+    return f"""
+WITH pages AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(320 + doc_id % 2560 AS BIGINT) AS width,
+    CAST(240 + (doc_id * 7) % 1920 AS BIGINT) AS height,
+    text
+  FROM documents
+),
+grids(gw, gh) AS (VALUES {_grids_values()}),
+ranked AS (
+  SELECT p.*, g.gw, g.gh,
+    ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY
+      ABS(CAST(p.width AS DOUBLE) / CAST(p.height AS DOUBLE)
+          - CAST(g.gw AS DOUBLE) / CAST(g.gh AS DOUBLE)) ASC,
+      g.gw * g.gh DESC, g.gw ASC) AS rk
+  FROM pages p CROSS JOIN grids g
+),
+geom AS (
+  SELECT doc_id, width, height, text,
+    CASE WHEN width <= {IMAGE_SIZE} AND height <= {IMAGE_SIZE} THEN 1 ELSE gw END AS w_tiles,
+    CASE WHEN width <= {IMAGE_SIZE} AND height <= {IMAGE_SIZE} THEN 1 ELSE gh END AS h_tiles,
+    CASE WHEN width >= height THEN {float(BASE_SIZE)}
+         ELSE round_even(CAST(width AS DOUBLE) / CAST(height AS DOUBLE) * {float(BASE_SIZE)}, 0)
+    END AS cwd,
+    CASE WHEN width >= height
+         THEN round_even(CAST(height AS DOUBLE) / CAST(width AS DOUBLE) * {float(BASE_SIZE)}, 0)
+         ELSE {float(BASE_SIZE)}
+    END AS chd
+  FROM ranked WHERE rk = 1
+),
+tok AS (
+  SELECT *,
+    CAST(CASE WHEN width <= {IMAGE_SIZE} AND height <= {IMAGE_SIZE} THEN 0
+         ELSE ({Q_TILE} * w_tiles + 1) * ({Q_TILE} * h_tiles) END AS BIGINT) AS tile_tokens,
+    CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS text_tokens,
+    CAST(FLOOR(({float(BASE_SIZE)} - cwd) / 2) AS INTEGER) AS pad_left,
+    CAST(FLOOR(({float(BASE_SIZE)} - chd) / 2) AS INTEGER) AS pad_top
+  FROM geom
+),
+page_plan AS (
+  SELECT doc_id, width, height,
+    CAST(cwd AS INTEGER) AS content_w,
+    CAST(chd AS INTEGER) AS content_h,
+    pad_left, pad_top,
+    CAST({BASE_SIZE} - CAST(cwd AS INTEGER) - pad_left AS INTEGER) AS pad_right,
+    CAST({BASE_SIZE} - CAST(chd AS INTEGER) - pad_top AS INTEGER) AS pad_bottom,
+    cwd / CAST(width AS DOUBLE) AS scale,
+    CAST({PAD_FILL} AS INTEGER) AS fill_r,
+    CAST(w_tiles AS INTEGER) AS w_tiles,
+    CAST(h_tiles AS INTEGER) AS h_tiles,
+    CAST({GLOBAL_TOKENS} + tile_tokens AS BIGINT) AS image_tokens,
+    text_tokens,
+    CAST(2 + {GLOBAL_TOKENS} + tile_tokens + text_tokens AS BIGINT) AS seq_len,
+    tile_tokens
+  FROM tok
+)
+SELECT page_plan.* EXCLUDE (tile_tokens), s.kind,
+  CAST(s.seg_start AS BIGINT) AS seg_start,
+  CAST(s.seg_len AS BIGINT) AS seg_len,
+  s.is_image
+FROM page_plan, LATERAL (
+  SELECT 'bos' AS kind, 0 AS seg_start, 1 AS seg_len, FALSE AS is_image
+  UNION ALL
+  SELECT 'global_view', 1, {GLOBAL_TOKENS}, TRUE
+  UNION ALL
+  SELECT 'tiles', 1 + {GLOBAL_TOKENS}, tile_tokens, TRUE
+    WHERE tile_tokens > 0
+  UNION ALL
+  SELECT 'text', 1 + {GLOBAL_TOKENS} + tile_tokens, text_tokens, FALSE
+    WHERE text_tokens > 0
+  UNION ALL
+  SELECT 'eos', 1 + {GLOBAL_TOKENS} + tile_tokens + text_tokens, 1, FALSE
+) s
 """
 
 
@@ -2483,8 +2787,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_window_lag_delta": (q_window_lag_delta, SQL_LAG_DELTA),
     "q_topk_events": (q_topk_events, SQL_TOPK_EVENTS),
     "q_distinct_daily_users": (q_distinct_daily_users, SQL_DAILY_USERS),
-    "q_setop_urgent_not_low": (q_setop_urgent_not_low, SQL_URGENT_NOT_LOW),
-    "q_setop_both_priorities": (q_setop_both_priorities, SQL_BOTH_PRIORITIES),
+    "q_setops_priority_customers": (q_setops_priority_customers, SQL_SETOPS),
     "q_join3_region_revenue": (q_join3_region_revenue, SQL_JOIN3),
     "q_salted_event_agg": (q_salted_event_agg, SQL_EVENT_AGG),
     "x1_grounding_scan": (x1_grounding_scan, SQL_X1),
@@ -2497,18 +2800,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f1b_ngram_suppress": (f1b_ngram_suppress, SQL_F1B),
     "f2_eos_page_gate": (f2_eos_page_gate, SQL_F2),
     "t5_page_concat": (t5_page_concat, SQL_T5),
-    "a1_token_count": (a1_token_count, SQL_A1),
+    "a1_token_fingerprint": (a1_token_fingerprint, SQL_A1),
     "c1_corpus_clean": (c1_corpus_clean, SQL_C1),
-    "a2_quality_score": (a2_quality_score, SQL_A2),
-    "a4_fingerprint": (a4_fingerprint, SQL_A4),
+    "a2_quality_langid": (a2_quality_langid, SQL_A2),
     "d1_exact_dedup": (d1_exact_dedup, SQL_D1),
     "e1_embedding_norm": (e1_embedding_norm, SQL_E1),
     "t3_formula_clean": (t3_formula_clean, SQL_T3),
     "t6_locate_spans": (t6_locate_spans, SQL_T6),
     "p1_tile_planner": (p1_tile_planner, _sql_p1()),
     "p2_dynamic_tiling": (p2_dynamic_tiling, _sql_p2()),
+    "p4_pad_token_layout": (p4_pad_token_layout, _sql_p4()),
     "p5_normalize": (p5_normalize, SQL_P5),
-    "a3_langid": (a3_langid, SQL_A3),
+    "s7_annotation_plan": (s7_annotation_plan, _sql_s7()),
+    "s8_geometry_plot": (s8_geometry_plot, SQL_S8),
     "d2_ngram_jaccard": (d2_ngram_jaccard, SQL_D2),
     "d3_minhash_lsh": (d3_minhash_lsh, _sql_d3()),
     "d4_simhash": (d4_simhash, _sql_d4()),

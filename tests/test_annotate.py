@@ -1,0 +1,255 @@
+"""S7 annotated-layout draw plan + S8 geometry-elements table
+(operators/annotate.py) and the P4/P6 preprocess plans
+(operators/tiling.py pad_plan/token_layout)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.operators.annotate import (
+    annotation_plan,
+    geometry_elements,
+)
+from deepseek_ocr_spark.operators.tiling import (
+    GLOBAL_TOKENS,
+    pad_plan,
+    token_layout,
+)
+from deepseek_ocr_spark.schema import EOS_SENTINEL
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, page_no int, content string"
+    )
+
+
+REF = "<|ref|>{}<|/ref|><|det|>{}<|/det|>"
+
+
+class TestAnnotationPlan:
+    def test_eos_gate_and_jdx(self, spark):
+        rows = [
+            ("d", 0, REF.format("title", "[[0,0,999,999]]") + EOS_SENTINEL),
+            ("d", 1, "truncated repeat page no sentinel"),
+            ("d", 2, REF.format("text", "[[10,10,20,20]]") + EOS_SENTINEL),
+        ]
+        out = annotation_plan(_pages(spark, rows)).collect()
+        # page 1 dropped; kept pages renumbered 0,1 (reference jdx
+        # advances only over kept pages, run_dpsk_ocr_pdf.py:285,320)
+        assert sorted({(r.jdx) for r in out}) == [0, 1]
+        title = [r for r in out if r.label == "title"][0]
+        assert (title.x1, title.y1) == (0, 0)
+        # int(999/999*W) = W
+        assert (title.x2, title.y2) == (1280, 1810)
+        assert title.outline_width == 4 and title.fill_alpha == 20
+
+    def test_page_level_image_counter_multibox(self, spark):
+        # one image ref with TWO boxes then another image ref: the draw
+        # loop's counter is per-BOX page-level (:163,186-190), so paths
+        # run 0_0, 0_1, 0_2 even though the rewrite counter would give
+        # the first ref a single number.
+        content = (
+            REF.format("image", "[[1,2,3,4],[5,6,7,8]]")
+            + REF.format("title", "[[0,0,9,9]]")
+            + REF.format("image", "[[9,9,99,99]]")
+            + EOS_SENTINEL
+        )
+        out = annotation_plan(_pages(spark, [("d", 0, content)])).collect()
+        imgs = sorted(
+            [r for r in out if r.label == "image"],
+            key=lambda r: (r.ref_idx, r.box_idx),
+        )
+        assert [r.img_idx for r in imgs] == [0, 1, 2]
+        assert [r.crop_path for r in imgs] == [
+            "images/0_0.jpg",
+            "images/0_1.jpg",
+            "images/0_2.jpg",
+        ]
+        # non-image rows carry no crop path
+        assert all(
+            r.img_idx is None and r.crop_path is None
+            for r in out
+            if r.label != "image"
+        )
+
+    def test_malformed_det_dropped_colors_deterministic(self, spark):
+        content = (
+            REF.format("text", "[[12, 34")  # eval() failure analogue
+            + REF.format("table", "[[1, 2, 3, 4]]")  # whitespace ok
+            + EOS_SENTINEL
+        )
+        out = annotation_plan(_pages(spark, [("d", 0, content)])).collect()
+        assert [r.label for r in out] == ["table"]
+        r = out[0]
+        assert 0 <= r.color_r < 200 and 0 <= r.color_g < 200
+        assert 0 <= r.color_b < 255
+        # label anchor: (x1, max(0, y1-15)) with y1 = int(2/999*1810) = 3
+        assert r.label_x == r.x1 and r.label_y == 0
+        again = annotation_plan(_pages(spark, [("d", 0, content)])).collect()
+        assert again[0].color_r == r.color_r
+
+    def test_skip_repeat_off_keeps_all_pages(self, spark):
+        rows = [("d", 0, REF.format("text", "[[1,1,2,2]]"))]
+        assert annotation_plan(_pages(spark, rows)).count() == 0
+        assert (
+            annotation_plan(_pages(spark, rows), skip_repeat=False).count() == 1
+        )
+
+
+FULL_GEOM = (
+    "{'Line': {'line': ['(3, 4) -- (10, 12)', '(0, 0) -- (5, 5)'], "
+    "'line_type': ['--'], "
+    "'line_endpoint': ['A: (3, 4)', 'B: (10, 12)']}, "
+    "'Circle': {'circle_center': ['O: (7, 8)'], 'radius': [2.5]}}"
+)
+
+
+class TestGeometryElements:
+    def _run(self, spark, payload):
+        df = spark.createDataFrame([("d", payload)], "doc_id string, geometry string")
+        return geometry_elements(df).collect()
+
+    def test_full_payload(self, spark):
+        rows = self._run(spark, FULL_GEOM)
+        by_kind = {}
+        for r in rows:
+            by_kind.setdefault(r.kind, []).append(r)
+        lines = sorted(by_kind["line"], key=lambda r: r.idx)
+        assert [(r.x0, r.y0, r.x1, r.y1) for r in lines] == [
+            (3.0, 4.0, 10.0, 12.0),
+            (0.0, 0.0, 5.0, 5.0),
+        ]
+        # line_type aligns by ordinal; missing tail falls back to solid
+        assert [r.style for r in lines] == ["--", "-"]
+        ends = sorted(by_kind["endpoint"], key=lambda r: r.idx)
+        assert [(r.label, r.x0, r.y0) for r in ends] == [
+            ("A", 3.0, 4.0),
+            ("B", 10.0, 12.0),
+        ]
+        (circ,) = by_kind["circle"]
+        assert (circ.label, circ.x0, circ.y0, circ.radius) == ("O", 7.0, 8.0, 2.5)
+
+    def test_multi_part_line_takes_first_and_last(self, spark):
+        rows = self._run(
+            spark, "{'Line': {'line': ['(1, 2) -- (9, 9) -- (3, 4)']}}"
+        )
+        (r,) = rows
+        assert (r.x0, r.y0, r.x1, r.y1) == (1.0, 2.0, 3.0, 4.0)
+        assert r.style == "-"  # no line_type key at all
+
+    def test_junk_entries_skipped_not_fatal(self, spark):
+        rows = self._run(
+            spark,
+            "{'Line': {'line': ['garbage', '(1, 1) -- (2, 2)'], "
+            "'line_endpoint': ['broken endpoint']}}",
+        )
+        # the bare-except skip: junk line + unparseable endpoint drop,
+        # the good line survives with its original ordinal
+        assert [(r.kind, r.idx) for r in rows] == [("line", 1)]
+
+    def test_malformed_payload_zero_rows(self, spark):
+        assert self._run(spark, "Sorry, I cannot parse this figure.") == []
+
+    def test_negative_and_float_coords(self, spark):
+        rows = self._run(
+            spark, "{'Line': {'line': ['(-1.5, 2.25) -- (0, -3)']}}"
+        )
+        (r,) = rows
+        assert (r.x0, r.y0, r.x1, r.y1) == (-1.5, 2.25, 0.0, -3.0)
+
+
+class TestPadPlan:
+    def _one(self, spark, w, h, **kw):
+        df = spark.createDataFrame([(w, h)], "width long, height long")
+        return pad_plan(df, **kw).collect()[0]
+
+    def test_wide_image(self, spark):
+        r = self._one(spark, 2048, 1024)
+        assert (r.content_w, r.content_h) == (1024, 512)
+        assert (r.pad_left, r.pad_top) == (0, 256)
+        assert (r.pad_right, r.pad_bottom) == (0, 256)
+        assert r.scale == 0.5
+        assert (r.fill_r, r.fill_g, r.fill_b) == (127, 127, 127)
+
+    def test_tall_image_odd_slack_floors(self, spark):
+        r = self._one(spark, 500, 1000)
+        assert (r.content_w, r.content_h) == (512, 1024)
+        # slack 512 → 256/256; odd slack cases floor the leading edge
+        r2 = self._one(spark, 999, 1000)
+        # round_even(999/1000*1024) = round_even(1023.0) — not a tie
+        assert r2.content_w == 1023
+        assert r2.pad_left == 0 and r2.pad_right == 1
+        # padded-space inversion property: (x - pad_left) / scale
+        assert (r2.content_w / r2.scale) == pytest.approx(999, abs=1e-9)
+
+    def test_half_to_even_rounding(self, spark):
+        # 500/1000*1024 = 512 exactly; craft a true .5: w=125, h=1000
+        # → 128.0; use w=999999... instead pick h=2048, w=1023 →
+        # 1023/2048*1024 = 511.5 → banker's rounds to 512 (Python round)
+        r = self._one(spark, 1023, 2048)
+        assert r.content_w == round(1023 / 2048 * 1024) == 512
+        # and 1021/2048*1024 = 510.5 → rounds to 510, not 511
+        r2 = self._one(spark, 1021, 2048)
+        assert r2.content_w == round(1021 / 2048 * 1024) == 510
+
+    def test_non_cropping_squares_source(self, spark):
+        r = self._one(spark, 5000, 100, cropping=False)
+        # direct resize to 640×640 first ⇒ full-canvas fit, zero pad
+        assert (r.content_w, r.content_h) == (1024, 1024)
+        assert (r.pad_left, r.pad_top, r.pad_right, r.pad_bottom) == (0, 0, 0, 0)
+
+
+class TestTokenLayout:
+    def _one(self, spark, w, h, text=None, **kw):
+        if text is None:
+            df = spark.createDataFrame([(w, h)], "width long, height long")
+            return token_layout(df, **kw).collect()[0]
+        df = spark.createDataFrame(
+            [(w, h, text)], "width long, height long, text string"
+        )
+        return token_layout(df, text_col="text", **kw).collect()[0]
+
+    def test_small_image_no_tiles_segment(self, spark):
+        r = self._one(spark, 640, 480)
+        assert r.w_tiles == 1 and r.h_tiles == 1
+        assert r.image_tokens == GLOBAL_TOKENS
+        kinds = [s.kind for s in r.segments]
+        assert kinds == ["bos", "global_view", "eos"]
+        assert r.seq_len == 1 + GLOBAL_TOKENS + 1
+
+    def test_segments_contiguous_and_cover_seq(self, spark):
+        r = self._one(spark, 1920, 1080, text="hello world, 42 tokens!")
+        pos = 0
+        for s in r.segments:
+            assert s.start == pos and s.len > 0
+            pos += s.len
+        assert pos == r.seq_len
+        kinds = [s.kind for s in r.segments]
+        assert kinds == ["bos", "global_view", "tiles", "text", "eos"]
+        # image-mask flags exactly the vision segments
+        assert [s.is_image for s in r.segments] == [
+            False,
+            True,
+            True,
+            False,
+            False,
+        ]
+        # 1920×1080 → (3,2) grid? whatever the planner picked, the tile
+        # count formula must agree with the planner's grid
+        tiles = [s for s in r.segments if s.kind == "tiles"][0]
+        assert tiles.len == (10 * r.w_tiles + 1) * (10 * r.h_tiles)
+
+    def test_bos_eos_toggle(self, spark):
+        r = self._one(spark, 640, 480, bos=False, eos=False)
+        assert [s.kind for s in r.segments] == ["global_view"]
+        assert r.segments[0].start == 0
+        assert r.seq_len == GLOBAL_TOKENS
+
+    def test_text_tokens_match_bpe_regex(self, spark):
+        import re
+
+        from deepseek_ocr_spark.operators.tiling import BPE_PAT
+
+        text = "the quick brown fox 123 !? end"
+        r = self._one(spark, 800, 800, text=text)
+        assert r.text_tokens == len(re.findall(BPE_PAT, text))

@@ -88,6 +88,33 @@ def test_dim_join_broadcasts_and_prunes(spark):
     assert "l_comment" not in plan
 
 
+def test_tile_planner_zero_shuffle(spark):
+    """r3: the 13-candidate grid argmin is an array fold, not
+    explode→window — p1/p2/p4 must stay Scan→Project (the former shape
+    repartitioned N×13 rows by every page column)."""
+    for name in ("p1_tile_planner", "p4_pad_token_layout"):
+        plan = _plan(Q.REGISTRY[name][0](spark, SF_DIR))
+        assert "Exchange" not in plan, name
+        assert "Window" not in plan, name
+
+
+def test_s7_annotation_plan_single_doc_exchange(spark):
+    """S7: one Exchange on doc_id (jdx numbering); the img_idx window's
+    (doc_id, jdx) requirement must REUSE that partitioning, and the
+    per-ref/per-box explosion ships no page bodies through a shuffle."""
+    plan = _plan(Q.s7_annotation_plan(spark, SF_DIR))
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1 and "doc_id" in exchanges[0], exchanges
+    assert "Python" not in plan
+
+
+def test_s8_geometry_plot_pure_map(spark):
+    plan = _plan(Q.s8_geometry_plot(spark, SF_DIR))
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_minhash_band_branch_ships_fixed_width_rows(spark):
     """The band explosion must not carry the shingle array — only
     (doc_id, band, band_sig) cross the exchange feeding the bucket agg."""
