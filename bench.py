@@ -57,6 +57,8 @@ HEADLINE = [
     "s3_knn_ivf",
     "a1_token_fingerprint",
     "e1_embedding_norm",
+    "p4_pad_token_layout",
+    "s7_annotation_plan",
 ]
 
 

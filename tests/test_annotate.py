@@ -253,3 +253,56 @@ class TestTokenLayout:
         text = "the quick brown fox 123 !? end"
         r = self._one(spark, 800, 800, text=text)
         assert r.text_tokens == len(re.findall(BPE_PAT, text))
+
+
+class TestPadTokenProperties:
+    """Batch property check: one Spark job over a dense (w, h) grid,
+    invariants asserted vectorized in Python (Python round == F.rint,
+    both half-to-even — the parity the DuckDB oracle also pins)."""
+
+    def test_pad_and_layout_invariants_grid(self, spark):
+        dims = [
+            (w, h)
+            for w in range(17, 4000, 331)
+            for h in range(23, 4000, 293)
+        ]
+        df = spark.createDataFrame(dims, "width long, height long")
+        rows = token_layout(pad_plan(df)).collect()
+        assert len(rows) == len(dims)
+        for r in rows:
+            w, h = r.width, r.height
+            # contain: major axis pinned to 1024, minor rounded half-even
+            assert max(r.content_w, r.content_h) == 1024
+            if w >= h:
+                assert r.content_w == 1024
+                assert r.content_h == round(h / w * 1024)
+            else:
+                assert r.content_h == 1024
+                assert r.content_w == round(w / h * 1024)
+            # pads reassemble the canvas exactly, leading edge floors
+            assert r.pad_left + r.content_w + r.pad_right == 1024
+            assert r.pad_top + r.content_h + r.pad_bottom == 1024
+            assert min(r.pad_left, r.pad_top, r.pad_right, r.pad_bottom) >= 0
+            assert 0 <= r.pad_right - r.pad_left <= 1
+            assert 0 <= r.pad_bottom - r.pad_top <= 1
+            # scale inverts to the original width
+            assert round(r.content_w / r.scale) == w
+            # token layout: contiguous, covering, image mask consistent
+            pos = 0
+            img_toks = 0
+            for s in r.segments:
+                assert s.start == pos and s.len > 0
+                pos += s.len
+                if s.is_image:
+                    img_toks += s.len
+            assert pos == r.seq_len
+            assert img_toks == r.image_tokens
+            small = w <= 640 and h <= 640
+            assert (r.w_tiles == 1 and r.h_tiles == 1) == small or not small
+            if small:
+                assert r.image_tokens == GLOBAL_TOKENS
+            else:
+                assert (
+                    r.image_tokens
+                    == GLOBAL_TOKENS + (10 * r.w_tiles + 1) * (10 * r.h_tiles)
+                )

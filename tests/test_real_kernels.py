@@ -64,3 +64,34 @@ def test_rasterize_gate_raises_cleanly():
 def test_decode_gate_raises_cleanly():
     with pytest.raises(NotImplementedError):
         _decode_real(b"\x89PNG")
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed in sandbox")
+def test_render_annotation_real():
+    from PIL import Image
+
+    from deepseek_ocr_spark.operators.annotate import render_annotation_page
+
+    img = Image.new("RGB", (100, 100), color=(255, 255, 255))
+    out = render_annotation_page(
+        img,
+        [
+            {
+                "color_r": 10, "color_g": 20, "color_b": 30,
+                "x1": 5, "y1": 5, "x2": 50, "y2": 50,
+                "outline_width": 2, "fill_alpha": 20,
+                "label": "title", "label_x": 5, "label_y": 0,
+            }
+        ],
+    )
+    assert out.size == (100, 100)
+    assert out.getpixel((60, 60)) == (255, 255, 255)  # outside box untouched
+    assert out.getpixel((5, 30)) != (255, 255, 255)  # outline drawn
+
+
+@pytest.mark.skipif(HAVE_PIL, reason="gate only observable without PIL")
+def test_render_annotation_gate_raises_cleanly():
+    from deepseek_ocr_spark.operators.annotate import render_annotation_page
+
+    with pytest.raises(NotImplementedError):
+        render_annotation_page(object(), [])

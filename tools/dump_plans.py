@@ -42,6 +42,9 @@ def main() -> None:
         "D5 BUCKETED EMBEDDING DUP": Q.d5_embedding_dup(spark, SF_DIR),
         "S2 MULTIPROBE LSH": Q.s2_knn_lsh(spark, SF_DIR),
         "S3 SEEDED IVF": Q.s3_knn_ivf(spark, SF_DIR),
+        "P1/P4 GRID FOLD (zero shuffle)": Q.p4_pad_token_layout(spark, SF_DIR),
+        "S7 ANNOTATION DRAW PLAN": Q.s7_annotation_plan(spark, SF_DIR),
+        "S8 GEOMETRY ELEMENTS": Q.s8_geometry_plot(spark, SF_DIR),
     }
     for name, df in sections.items():
         print("=" * 30, name)
