@@ -719,10 +719,14 @@ def s7_annotation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "color_r",
         "color_g",
         "color_b",
-        F.col("img_idx").cast("bigint").alias("img_idx"),
+        # driver-gate projection: the operator models non-image rows as
+        # NULL (faithful); the registry emits -1/'' sentinels so the
+        # order-insensitive compare never has to ORDER mixed None/str
+        # ties (color collisions can tie rows through to these columns)
+        F.coalesce(F.col("img_idx").cast("bigint"), F.lit(-1)).alias("img_idx"),
         "label_x",
         "label_y",
-        "crop_path",
+        F.coalesce("crop_path", F.lit("")).alias("crop_path"),
     )
 
 
@@ -775,11 +779,11 @@ SELECT doc_id, jdx, ref_idx, box_idx, label, x1, y1, x2, y2,
   CAST(CAST(('0x' || substr(h, 1, 2)) AS INTEGER) % 200 AS INTEGER) AS color_r,
   CAST(CAST(('0x' || substr(h, 3, 2)) AS INTEGER) % 200 AS INTEGER) AS color_g,
   CAST(CAST(('0x' || substr(h, 5, 2)) AS INTEGER) % 255 AS INTEGER) AS color_b,
-  img_idx,
+  COALESCE(img_idx, -1) AS img_idx,
   x1 AS label_x,
   GREATEST(0, y1 - 15) AS label_y,
-  CASE WHEN img_idx IS NOT NULL THEN
-    'images/0_' || CAST(img_idx AS VARCHAR) || '.jpg' END AS crop_path
+  COALESCE(CASE WHEN img_idx IS NOT NULL THEN
+    'images/0_' || CAST(img_idx AS VARCHAR) || '.jpg' END, '') AS crop_path
 FROM px
 """
 

@@ -44,7 +44,13 @@ def _norm(v):
 
 def _rows_to_set(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # sort key stringifies with a None marker: mixed None/str/int tuples
+    # are not orderable in Python (first hit: s7 at sf0.1, where color
+    # collisions tie two rows all the way to the nullable crop_path)
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple("\x00" if v is None else str(v) for v in t),
+    )
 
 
 def main(only: list[str]) -> int:
