@@ -122,6 +122,49 @@ def cosine_topk(
     )
 
 
+def _margins_sql(vec_sql: str, n_planes: int, dim: int | None, base: int) -> str:
+    """SQL text for the margins array — one parse instead of ~40 py4j
+    round-trips per plane; same Catalyst tree as the Column path (parity
+    test pins byte-equality). Reused by the bucket/probe single-expr
+    constructors."""
+
+    def _proj(p: int) -> str:
+        warr = "array(" + ",".join(_drepr(x) for x in HYPERPLANES[p][:dim]) + ")"
+        if dim is not None:
+            w, ok = warr, f"size({vec_sql}) = {dim}"
+            msg = f"embedding width != declared dim={dim}"
+        else:
+            w = f"slice({warr}, 1, size({vec_sql}))"
+            ok = f"size({vec_sql}) <= {MAX_DIM}"
+            msg = (
+                f"embedding wider than MAX_DIM={MAX_DIM}; raise "
+                "similarity.MAX_DIM / extend HYPERPLANES"
+            )
+        fold = (
+            f"aggregate(zip_with({vec_sql}, {w}, (x, y) ->"
+            " CAST(x AS DOUBLE) * y), CAST(0.0D AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        )
+        # same guard-per-projection shape as the Column path
+        return (
+            f"CASE WHEN {ok} THEN {fold} ELSE"
+            f" CAST(raise_error('{msg}') AS DOUBLE) END"
+        )
+
+    return "array(" + ",".join(_proj(base + j) for j in range(n_planes)) + ")"
+
+
+def _bucket_sql(m_sql: str, n_planes: int) -> str:
+    """SQL text: bucket id from a margins-array expression — the sign
+    pattern folded with the power-of-two weights (identical values to
+    the Column path's Σ when(m[p] > 0, 2^p))."""
+    pow2 = ",".join(str(2**p) for p in range(n_planes))
+    return (
+        f"CAST(aggregate(zip_with({m_sql}, array({pow2}), "
+        "(mm, w) -> IF(mm > 0, w, 0)), 0, (acc, x) -> acc + x) AS INT)"
+    )
+
+
 def hyperplane_margins(
     vec: Column | str,
     n_planes: int = N_PLANES,
@@ -154,34 +197,7 @@ def hyperplane_margins(
         raise ValueError(f"dim={dim} exceeds MAX_DIM={MAX_DIM} hyperplane width")
 
     if isinstance(vec, str):
-        vec = f"`{vec}`"
-
-        def _proj(p: int) -> Column:
-            warr = "array(" + ",".join(
-                _drepr(x) for x in HYPERPLANES[p][:dim]
-            ) + ")"
-            if dim is not None:
-                w, ok = warr, f"size({vec}) = {dim}"
-                msg = f"embedding width != declared dim={dim}"
-            else:
-                w = f"slice({warr}, 1, size({vec}))"
-                ok = f"size({vec}) <= {MAX_DIM}"
-                msg = (
-                    f"embedding wider than MAX_DIM={MAX_DIM}; raise "
-                    "similarity.MAX_DIM / extend HYPERPLANES"
-                )
-            fold = (
-                f"aggregate(zip_with({vec}, {w}, (x, y) ->"
-                " CAST(x AS DOUBLE) * y), CAST(0.0D AS DOUBLE),"
-                " (acc, x) -> acc + x)"
-            )
-            # same guard-per-projection shape as the Column path
-            return F.expr(
-                f"CASE WHEN {ok} THEN {fold} ELSE"
-                f" CAST(raise_error('{msg}') AS DOUBLE) END"
-            )
-
-        return F.array(*[_proj(base + j) for j in range(n_planes)])
+        return F.expr(_margins_sql(f"`{vec}`", n_planes, dim, base))
 
     def _proj(p: int) -> Column:
         w = (
@@ -218,7 +234,13 @@ def hyperplane_bucket(
     dim: int | None = None,
     base: int = 0,
 ) -> Column:
-    """LSH bucket id: sign pattern of the n_planes projections."""
+    """LSH bucket id: sign pattern of the n_planes projections. With a
+    str column name, the whole expression is ONE SQL parse (the r3
+    profile put ~0.15 s of py4j latency on each when-chain build — ×8
+    constructions per s2 query)."""
+    if isinstance(vec, str):
+        m = _margins_sql(f"`{vec}`", n_planes, dim, base)
+        return F.expr(_bucket_sql(m, n_planes))
     m = hyperplane_margins(vec, n_planes, dim, base)
     bucket = F.lit(0)
     for p in range(n_planes):
@@ -235,7 +257,24 @@ def probe_buckets(
 ) -> Column:
     """Multi-probe bucket list: the primary bucket plus single-bit flips
     of the n_probe-1 weakest planes (smallest |margin|, plane-index
-    tiebreak) — the standard multi-probe LSH recall recovery."""
+    tiebreak) — the standard multi-probe LSH recall recovery.
+
+    str path: one SQL parse, margins bound once via the
+    transform(array(x), v -> …)[0] let-idiom so the 16 guarded folds
+    are not re-inlined into the ranking, bucket, and flip subtrees."""
+    if isinstance(vec, str):
+        marr = _margins_sql(f"`{vec}`", n_planes, dim, base)
+        ranked = (
+            f"slice(array_sort(zip_with(m, sequence(0, {n_planes - 1}), "
+            "(mm, p) -> named_struct('a', abs(mm), 'p', p))), 1, "
+            f"{n_probe - 1})"
+        )
+        return F.expr(
+            f"transform(array({marr}), m -> "
+            f"transform(array({_bucket_sql('m', n_planes)}), b -> "
+            f"concat(array(b), transform({ranked}, "
+            "s -> CAST(b ^ shiftleft(1, s.p) AS INT))))[0])[0]"
+        )
     m = hyperplane_margins(vec, n_planes, dim, base)
     bucket = F.lit(0)
     for p in range(n_planes):

@@ -193,3 +193,39 @@ def test_x5_degenerate_sql_matches_duckdb(spark):
         )
     duck_rows = sorted(tuple(r) for r in con.execute(Q.SQL_X5).fetchall())
     assert spark_rows == duck_rows and len(spark_rows) > 0
+
+
+def test_bucket_probe_str_vs_column_paths(spark):
+    """r3 single-expr constructors: bucket and multi-probe lists built
+    from ONE SQL parse must agree exactly with the Column-composed
+    forms (the ~20x cheaper construction must not change a value)."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.operators.similarity import (
+        hyperplane_bucket,
+        probe_buckets,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 13) % 11) - 5.0 for j in range(16)])
+            for i in range(32)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    for dim in (16, None):
+        for n_probe in (1, 2, 3):
+            a = vecs.select(
+                "vec_id",
+                hyperplane_bucket(F.col("embedding"), 8, dim, base=8).alias("b"),
+                probe_buckets(F.col("embedding"), 8, n_probe, dim, base=8).alias(
+                    "pr"
+                ),
+            )
+            b = vecs.select(
+                "vec_id",
+                hyperplane_bucket("embedding", 8, dim, base=8).alias("b"),
+                probe_buckets("embedding", 8, n_probe, dim, base=8).alias("pr"),
+            )
+            assert a.exceptAll(b).count() == 0, (dim, n_probe)
+            assert b.exceptAll(a).count() == 0, (dim, n_probe)
