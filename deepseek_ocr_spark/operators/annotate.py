@@ -215,18 +215,34 @@ def geometry_elements(
     """S8: parse the reference's dict-shaped geometry payload into one
     relational elements table: kind ∈ {line, endpoint, circle}.
 
-    The reference eval()s the payload (run_dpsk_ocr_image.py:253-259) —
-    code execution on model output; here the single-quoted dict
-    normalizes to JSON and parses with from_json (null on malformed →
-    zero elements). Lines split on ' -- ' taking first/last parts
-    (:266-267); line_type aligns by ordinal with solid fallback
-    (:270-272 draws both styles identically — the STYLE column keeps
-    the distinction the plot drops); endpoints split on ': ' (:280-281);
-    circles pair center strings with the radius array by ordinal
-    (:288-295). Everything is array-local column code: no UDF, no
-    shuffle, one explode of the bounded per-row element array."""
-    parsed = F.from_json(
-        F.regexp_replace(F.col(col), "'", '"'), _GEOM_SCHEMA
+    Faithful to run_dpsk_ocr_image.py:250-300:
+    - dispatch gate — the reference only enters the geometry branch when
+      the raw output CONTAINS the substring 'line_type' (:250); payloads
+      without it yield zero elements here too;
+    - the reference eval()s the payload (:253-259) — code execution on
+      model output; here the single-quoted dict normalizes to JSON and
+      parses with from_json (null on malformed → zero elements);
+    - lines split on ' -- ' taking first/last parts, BOTH endpoints must
+      parse, and line_type[idx] must exist — the reference indexes
+      line_type inside the per-line try (:265-278), so a short
+      line_type list silently drops the tail lines (zip-strictness),
+      it does not default. The STYLE column keeps the value whose
+      '--'-vs-else distinction the plot then draws identically (:270-273);
+    - endpoints split on ': ' (:280-283). Documented deviation: the
+      reference's endpoint loop is UNGUARDED — a malformed endpoint
+      crashes the whole plot; crash-on-row is not a viable distributed
+      semantic, so unparseable endpoints are dropped instead;
+    - circles zip center strings with the radius array (:287-296) —
+      zip truncation mirrored via the radius-exists requirement.
+      Documented deviation: the reference's single try around the circle
+      loop aborts the REMAINING circles after the first bad one (order-
+      dependent state); here each circle is judged independently.
+
+    Everything is array-local column code: no UDF, no shuffle, one
+    explode of the bounded per-row element array."""
+    parsed = F.when(
+        F.contains(F.col(col), F.lit("line_type")),
+        F.from_json(F.regexp_replace(F.col(col), "'", '"'), _GEOM_SCHEMA),
     )
     d = df.withColumn("_g", parsed)
     lines = F.col("_g.Line.line")
@@ -248,9 +264,10 @@ def geometry_elements(
             pt(F.element_at(F.split(s, " -- "), -1), 1),
             pt(F.element_at(F.split(s, " -- "), -1), 2),
             F.lit(None),
-            # try_element_at: ANSI mode ON — a shorter line_type list
-            # must fall back to '-', not throw (:270-272 zip semantics)
-            F.coalesce(F.try_element_at(ltypes, i + 1), F.lit("-")),
+            # try_element_at: ANSI mode ON — a missing line_type entry
+            # must yield NULL (→ the line is dropped below, mirroring
+            # the reference's in-try IndexError skip), not throw
+            F.try_element_at(ltypes, i + 1),
             F.lit(None),
         ),
     )
@@ -284,9 +301,15 @@ def geometry_elements(
     )
     elems = F.filter(
         F.concat(line_elems, end_elems, circle_elems),
-        # bare-except skip semantics: an element survives only if its
-        # anchor coordinates parsed
-        lambda e: e["x0"].isNotNull() & e["y0"].isNotNull(),
+        # bare-except skip semantics: anchor coordinates must parse;
+        # lines additionally need BOTH endpoints and their line_type
+        # entry (reference indexes both inside the try); circles need
+        # their zip partner in the radius array
+        lambda e: e["x0"].isNotNull()
+        & e["y0"].isNotNull()
+        & ((e["kind"] != "line") | (e["x1"].isNotNull() & e["y1"].isNotNull()))
+        & ((e["kind"] != "line") | e["style"].isNotNull())
+        & ((e["kind"] != "circle") | e["radius"].isNotNull()),
     )
     return d.select(
         F.col(id_col), F.explode(elems).alias("_e")

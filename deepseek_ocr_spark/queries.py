@@ -792,9 +792,12 @@ def s8_geometry_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: geometry-plot sink as the parsed elements table
     (run_dpsk_ocr_image.py:250-300 re-plot loop). Payloads are built as
     a pure function of doc_id in the reference's single-quoted dict
-    shape — three variants: full Line+Circle, Line-only with a 3-part
-    segment + junk entry (bare-except skip), and a malformed payload
-    (parse yields zero elements, never an error)."""
+    shape — three variants: full Line+Circle; Line-heavy with a 3-part
+    segment, a zip-truncated second line (line_type has one entry —
+    reference drops the tail lines via the in-try IndexError) and a junk
+    entry (bare-except skip); and a malformed payload with no
+    'line_type' substring (the reference's dispatch gate — zero
+    elements, never an error)."""
     from .operators.annotate import geometry_elements
 
     d = F.col("doc_id")
@@ -803,14 +806,16 @@ def s8_geometry_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = d % 50
     full = F.format_string(
         "{'Line': {'line': ['(%d, %d) -- (%d, %d)', '(%d, %d) -- (%d, %d)'],"
-        " 'line_type': ['--'], 'line_endpoint': ['A: (%d, %d)', 'B: (%d, %d)']},"
+        " 'line_type': ['--', '-'],"
+        " 'line_endpoint': ['A: (%d, %d)', 'B: (%d, %d)']},"
         " 'Circle': {'circle_center': ['O: (%d, %d)'], 'radius': [%d]}}",
         a, b_, c, e, b_, a, e, c, a, b_, c, e, a, e, r,
     )
     line_only = F.format_string(
-        "{'Line': {'line': ['(%d, %d) -- (55, 55) -- (%d, %d)', 'garbage'],"
+        "{'Line': {'line': ['(%d, %d) -- (55, 55) -- (%d, %d)',"
+        " '(%d, %d) -- (%d, %d)', 'garbage'], 'line_type': ['-'],"
         " 'line_endpoint': ['P: (%d, %d)']}}",
-        a, b_, c, e, b_, e,
+        a, b_, c, e, a, a, b_, b_, b_, e,
     )
     docs = _t(spark, sf_dir, "documents").select(
         d.cast("bigint").alias("doc_id"),
@@ -855,6 +860,8 @@ SELECT doc_id, 'endpoint', 1, c, e, NULL, NULL, 'B', NULL, NULL FROM v WHERE var
 UNION ALL
 SELECT doc_id, 'circle', 0, a, e, NULL, NULL, 'O', NULL, r FROM v WHERE variant = 0
 UNION ALL
+-- variant 1: line 1 zip-truncated (line_type has one entry), 'garbage'
+-- parse-skipped; only the 3-part line 0 and endpoint P survive
 SELECT doc_id, 'line', 0, a, b, c, e, NULL, '-', NULL FROM v WHERE variant = 1
 UNION ALL
 SELECT doc_id, 'endpoint', 0, b, e, NULL, NULL, 'P', NULL, NULL FROM v WHERE variant = 1

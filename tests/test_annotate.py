@@ -98,7 +98,7 @@ class TestAnnotationPlan:
 
 FULL_GEOM = (
     "{'Line': {'line': ['(3, 4) -- (10, 12)', '(0, 0) -- (5, 5)'], "
-    "'line_type': ['--'], "
+    "'line_type': ['--', '-'], "
     "'line_endpoint': ['A: (3, 4)', 'B: (10, 12)']}, "
     "'Circle': {'circle_center': ['O: (7, 8)'], 'radius': [2.5]}}"
 )
@@ -119,7 +119,7 @@ class TestGeometryElements:
             (3.0, 4.0, 10.0, 12.0),
             (0.0, 0.0, 5.0, 5.0),
         ]
-        # line_type aligns by ordinal; missing tail falls back to solid
+        # line_type aligns by ordinal
         assert [r.style for r in lines] == ["--", "-"]
         ends = sorted(by_kind["endpoint"], key=lambda r: r.idx)
         assert [(r.label, r.x0, r.y0) for r in ends] == [
@@ -131,28 +131,63 @@ class TestGeometryElements:
 
     def test_multi_part_line_takes_first_and_last(self, spark):
         rows = self._run(
-            spark, "{'Line': {'line': ['(1, 2) -- (9, 9) -- (3, 4)']}}"
+            spark,
+            "{'Line': {'line': ['(1, 2) -- (9, 9) -- (3, 4)'], "
+            "'line_type': ['-']}}",
         )
         (r,) = rows
         assert (r.x0, r.y0, r.x1, r.y1) == (1.0, 2.0, 3.0, 4.0)
-        assert r.style == "-"  # no line_type key at all
+        assert r.style == "-"
+
+    def test_dispatch_gate_no_line_type_substring(self, spark):
+        # the reference only enters the geometry branch when the raw
+        # output CONTAINS 'line_type' (run_dpsk_ocr_image.py:250)
+        assert (
+            self._run(spark, "{'Line': {'line': ['(1, 2) -- (3, 4)']}}") == []
+        )
+
+    def test_zip_truncation_short_line_type(self, spark):
+        # line_type[1] missing -> IndexError inside the reference's try
+        # -> line 1 skipped, NOT defaulted
+        rows = self._run(
+            spark,
+            "{'Line': {'line': ['(1, 2) -- (3, 4)', '(5, 6) -- (7, 8)'], "
+            "'line_type': ['--']}}",
+        )
+        assert [(r.kind, r.idx, r.style) for r in rows] == [("line", 0, "--")]
 
     def test_junk_entries_skipped_not_fatal(self, spark):
         rows = self._run(
             spark,
-            "{'Line': {'line': ['garbage', '(1, 1) -- (2, 2)'], "
+            "{'Line': {'line': ['garbage', '(1, 1) -- (2, 2)', "
+            "'(3, 3) -- junk'], 'line_type': ['-', '-', '-'], "
             "'line_endpoint': ['broken endpoint']}}",
         )
-        # the bare-except skip: junk line + unparseable endpoint drop,
+        # junk line, half-parsed line, and unparseable endpoint drop;
         # the good line survives with its original ordinal
         assert [(r.kind, r.idx) for r in rows] == [("line", 1)]
 
+    def test_circle_requires_radius_partner(self, spark):
+        rows = self._run(
+            spark,
+            "{'Line': {'line': [], 'line_type': []}, "
+            "'Circle': {'circle_center': ['O: (1, 1)', 'Q: (2, 2)'], "
+            "'radius': [3.5]}}",
+        )
+        # zip truncation: the second center has no radius partner
+        assert [(r.kind, r.label, r.radius) for r in rows] == [
+            ("circle", "O", 3.5)
+        ]
+
     def test_malformed_payload_zero_rows(self, spark):
-        assert self._run(spark, "Sorry, I cannot parse this figure.") == []
+        assert self._run(spark, "Sorry, no line_type payload here.") == []
+        assert self._run(spark, "line_type but not a dict at all") == []
 
     def test_negative_and_float_coords(self, spark):
         rows = self._run(
-            spark, "{'Line': {'line': ['(-1.5, 2.25) -- (0, -3)']}}"
+            spark,
+            "{'Line': {'line': ['(-1.5, 2.25) -- (0, -3)'], "
+            "'line_type': ['-']}}",
         )
         (r,) = rows
         assert (r.x0, r.y0, r.x1, r.y1) == (-1.5, 2.25, 0.0, -3.0)
