@@ -75,7 +75,11 @@ def annotation_plan(
         ).alias("ref_idx", "_r"),
     )
     # malformed det payloads yield zero box matches -> the non-outer
-    # posexplode drops the ref, mirroring the try/except skip at :166-213
+    # posexplode drops the ref, mirroring the try/except skip at :166-213.
+    # Documented deviation: on a MIXED list like [[1,2,3],[1,2,3,4]] the
+    # reference's eval + 4-tuple unpack aborts the whole ref at the first
+    # bad box; the regex keeps the well-formed ones (per-box skip is the
+    # only order-free relational form of the same error swallowing)
     boxes = refs.select(
         "doc_id",
         "jdx",
