@@ -192,7 +192,14 @@ _GEOM_SCHEMA = (
     "line_endpoint:array<string>>,"
     "Circle:struct<circle_center:array<string>,radius:array<double>>>"
 )
-_POINT = r"\(\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*\)"
+# anchored: the reference eval()s each part, which rejects any trailing
+# garbage — '(1, 2) extra' must NOT parse (a floating regex would)
+_POINT = r"^\s*\(\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*\)\s*$"
+
+_ELEM_ARR_TYPE = (
+    "array<struct<kind:string,idx:int,x0:double,y0:double,x1:double,"
+    "y1:double,label:string,style:string,radius:double>>"
+)
 
 _ELEM_FIELDS = (
     "kind", "idx", "x0", "y0", "x1", "y1", "label", "style", "radius",
@@ -232,7 +239,13 @@ def geometry_elements(
       line_type list silently drops the tail lines (zip-strictness),
       it does not default. The STYLE column keeps the value whose
       '--'-vs-else distinction the plot then draws identically (:270-273);
-    - endpoints split on ': ' (:280-283). Documented deviation: the
+    - all three Line fields (line, line_type, line_endpoint) are
+      accessed unconditionally at :253-259 — a payload missing ANY of
+      them crashes the reference before a single element is drawn, so
+      it yields zero elements here (empty lists are fine);
+    - endpoints split on ': ', the point eval'd from the SECOND part
+      exactly (:280-283) — mirrored as an anchored parse of
+      split[1], not a substring scan. Documented deviation: the
       reference's endpoint loop is UNGUARDED — a malformed endpoint
       crashes the whole plot; crash-on-row is not a viable distributed
       semantic, so unparseable endpoints are dropped instead;
@@ -275,13 +288,18 @@ def geometry_elements(
             F.lit(None),
         ),
     )
+    def labeled_pt(s, grp: int):
+        # reference shape 'A: (x, y)' — the point is eval'd from
+        # split(': ')[1] exactly (:281,:293), not found by substring
+        return pt(F.try_element_at(F.split(s, ": "), F.lit(2)), grp)
+
     end_elems = F.transform(
         F.coalesce(ends, F.array().cast("array<string>")),
         lambda s, i: _elem(
             F.lit("endpoint"),
             i,
-            pt(s, 1),
-            pt(s, 2),
+            labeled_pt(s, 1),
+            labeled_pt(s, 2),
             F.lit(None),
             F.lit(None),
             F.element_at(F.split(s, ": "), 1),
@@ -294,8 +312,8 @@ def geometry_elements(
         lambda s, i: _elem(
             F.lit("circle"),
             i,
-            pt(s, 1),
-            pt(s, 2),
+            labeled_pt(s, 1),
+            labeled_pt(s, 2),
             F.lit(None),
             F.lit(None),
             F.element_at(F.split(s, ": "), 1),
@@ -303,7 +321,7 @@ def geometry_elements(
             F.try_element_at(radii, i + 1),
         ),
     )
-    elems = F.filter(
+    filtered = F.filter(
         F.concat(line_elems, end_elems, circle_elems),
         # bare-except skip semantics: anchor coordinates must parse;
         # lines additionally need BOTH endpoints and their line_type
@@ -315,6 +333,12 @@ def geometry_elements(
         & ((e["kind"] != "line") | e["style"].isNotNull())
         & ((e["kind"] != "circle") | e["radius"].isNotNull()),
     )
+    # all-fields gate: the reference dereferences line, line_type AND
+    # line_endpoint before drawing anything — a payload missing any of
+    # the three crashes it with zero output, circles included
+    elems = F.when(
+        lines.isNotNull() & ltypes.isNotNull() & ends.isNotNull(), filtered
+    ).otherwise(F.array().cast(_ELEM_ARR_TYPE))
     return d.select(
         F.col(id_col), F.explode(elems).alias("_e")
     ).select(id_col, *[F.col(f"_e.{f}").alias(f) for f in _ELEM_FIELDS])

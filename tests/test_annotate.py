@@ -133,7 +133,7 @@ class TestGeometryElements:
         rows = self._run(
             spark,
             "{'Line': {'line': ['(1, 2) -- (9, 9) -- (3, 4)'], "
-            "'line_type': ['-']}}",
+            "'line_type': ['-'], 'line_endpoint': []}}",
         )
         (r,) = rows
         assert (r.x0, r.y0, r.x1, r.y1) == (1.0, 2.0, 3.0, 4.0)
@@ -146,13 +146,25 @@ class TestGeometryElements:
             self._run(spark, "{'Line': {'line': ['(1, 2) -- (3, 4)']}}") == []
         )
 
+    def test_all_three_line_fields_required(self, spark):
+        # the reference dereferences line, line_type AND line_endpoint
+        # before drawing anything (:253-259) — missing any one crashes
+        # it with zero output, circles included
+        for payload in (
+            "{'Line': {'line': ['(1, 2) -- (3, 4)'], 'line_type': ['-']}}",
+            "{'Line': {'line_type': ['-'], 'line_endpoint': []}}",
+            "{'Circle': {'circle_center': ['O: (1, 1)'], 'radius': [2]}, "
+            "'x': 'line_type'}",
+        ):
+            assert self._run(spark, payload) == [], payload
+
     def test_zip_truncation_short_line_type(self, spark):
         # line_type[1] missing -> IndexError inside the reference's try
         # -> line 1 skipped, NOT defaulted
         rows = self._run(
             spark,
             "{'Line': {'line': ['(1, 2) -- (3, 4)', '(5, 6) -- (7, 8)'], "
-            "'line_type': ['--']}}",
+            "'line_type': ['--'], 'line_endpoint': []}}",
         )
         assert [(r.kind, r.idx, r.style) for r in rows] == [("line", 0, "--")]
 
@@ -161,16 +173,28 @@ class TestGeometryElements:
             spark,
             "{'Line': {'line': ['garbage', '(1, 1) -- (2, 2)', "
             "'(3, 3) -- junk'], 'line_type': ['-', '-', '-'], "
-            "'line_endpoint': ['broken endpoint']}}",
+            "'line_endpoint': ['broken endpoint', 'A (7, 7)']}}",
         )
-        # junk line, half-parsed line, and unparseable endpoint drop;
-        # the good line survives with its original ordinal
+        # junk line, half-parsed line, no-colon endpoint (the point must
+        # come from split(': ')[1], eval-anchored — never a substring
+        # scan), and unparseable endpoint all drop; the good line
+        # survives with its original ordinal
         assert [(r.kind, r.idx) for r in rows] == [("line", 1)]
+
+    def test_point_parse_is_anchored(self, spark):
+        # eval('(1, 2) extra') is a SyntaxError in the reference — a
+        # substring-matching regex would wrongly accept it
+        rows = self._run(
+            spark,
+            "{'Line': {'line': ['(1, 2) extra -- (3, 4)'], "
+            "'line_type': ['-'], 'line_endpoint': ['B: (5, 5) tail']}}",
+        )
+        assert rows == []
 
     def test_circle_requires_radius_partner(self, spark):
         rows = self._run(
             spark,
-            "{'Line': {'line': [], 'line_type': []}, "
+            "{'Line': {'line': [], 'line_type': [], 'line_endpoint': []}, "
             "'Circle': {'circle_center': ['O: (1, 1)', 'Q: (2, 2)'], "
             "'radius': [3.5]}}",
         )
@@ -180,14 +204,14 @@ class TestGeometryElements:
         ]
 
     def test_malformed_payload_zero_rows(self, spark):
-        assert self._run(spark, "Sorry, no line_type payload here.") == []
+        assert self._run(spark, "Sorry, no line-type payload here.") == []
         assert self._run(spark, "line_type but not a dict at all") == []
 
     def test_negative_and_float_coords(self, spark):
         rows = self._run(
             spark,
             "{'Line': {'line': ['(-1.5, 2.25) -- (0, -3)'], "
-            "'line_type': ['-']}}",
+            "'line_type': ['-'], 'line_endpoint': []}}",
         )
         (r,) = rows
         assert (r.x0, r.y0, r.x1, r.y1) == (-1.5, 2.25, 0.0, -3.0)
@@ -341,3 +365,143 @@ class TestPadTokenProperties:
                     r.image_tokens
                     == GLOBAL_TOKENS + (10 * r.w_tiles + 1) * (10 * r.h_tiles)
                 )
+
+
+# ---------------------------------------------------------------------------
+# S8 statement-port golden: Python mirror of run_dpsk_ocr_image.py:250-300
+
+
+def oracle_geometry(payload: str):
+    """Statement port of the reference re-plot loop
+    (run_dpsk_ocr_image.py:250-300), comparator-pattern test oracle like
+    oracle.py — kept faithful line by line, with the engine's two
+    documented deviations marked inline. Element tuples mirror the
+    geometry_elements schema."""
+    out = []
+    if "line_type" not in payload:  # :250 dispatch gate
+        return out
+    try:
+        d = eval(payload)  # noqa: S307 — the reference eval()s (:253)
+        lines = d["Line"]["line"]
+        line_type = d["Line"]["line_type"]
+        endpoints = d["Line"]["line_endpoint"]
+    except Exception:
+        return out  # deviation: the reference would crash uncaught
+    for idx, line in enumerate(lines):  # :265-278
+        try:
+            p0 = eval(line.split(" -- ")[0])  # noqa: S307
+            p1 = eval(line.split(" -- ")[-1])  # noqa: S307
+            style = line_type[idx]  # IndexError inside the try -> skip
+            out.append(
+                ("line", idx, float(p0[0]), float(p0[1]), float(p1[0]),
+                 float(p1[1]), None, str(style), None)
+            )
+        except Exception:
+            continue
+    for i, ep in enumerate(endpoints):  # :280-283
+        try:  # deviation: unguarded in the reference (would crash)
+            label = ep.split(": ")[0]
+            (x, y) = eval(ep.split(": ")[1])  # noqa: S307
+            out.append(
+                ("endpoint", i, float(x), float(y), None, None, label,
+                 None, None)
+            )
+        except Exception:
+            continue
+    try:  # :286-296
+        if "Circle" in d.keys():
+            centers = d["Circle"]["circle_center"]
+            radius = d["Circle"]["radius"]
+            for i, (center, r) in enumerate(zip(centers, radius)):
+                try:  # deviation: the reference aborts the REST on error
+                    label = center.split(": ")[0]
+                    (x, y) = eval(center.split(": ")[1])  # noqa: S307
+                    out.append(
+                        ("circle", i, float(x), float(y), None, None,
+                         label, None, float(r))
+                    )
+                except Exception:
+                    continue
+    except Exception:
+        pass
+    return out
+
+
+def _gen_payload(rng):
+    """One payload from the agreed-semantics domain (excluded gray zones
+    where eval and the anchored parse legitimately differ: 3-tuples,
+    trailing commas, scientific notation, non-numeric radii)."""
+
+    def point():
+        if rng.random() < 0.3:
+            return f"({rng.integers(-99, 99)}.{rng.integers(0, 99)}, {rng.integers(-99, 99)})"
+        return f"({rng.integers(-99, 99)}, {rng.integers(-99, 99)})"
+
+    roll = rng.random()
+    if roll < 0.08:
+        return "no geometry in this output at all"
+    if roll < 0.14:
+        return "mentions line_type but is not a dict"
+    parts = []
+    n_lines = int(rng.integers(0, 4))
+    lines = []
+    for _ in range(n_lines):
+        r = rng.random()
+        if r < 0.15:
+            lines.append("garbage")
+        elif r < 0.3:
+            lines.append(f"{point()} -- {point()} -- {point()}")
+        else:
+            lines.append(f"{point()} -- {point()}")
+    # line_type possibly shorter OR longer than lines (zip strictness)
+    n_types = int(rng.integers(0, n_lines + 2))
+    types = [["--", "-", ":"][int(rng.integers(0, 3))] for _ in range(n_types)]
+    n_ends = int(rng.integers(0, 3))
+    ends = []
+    for j in range(n_ends):
+        r = rng.random()
+        if r < 0.2:
+            ends.append("broken endpoint")
+        elif r < 0.35:
+            ends.append(f"A ({rng.integers(0, 9)}, {rng.integers(0, 9)})")
+        else:
+            ends.append(f"{'ABCP'[j % 4]}: {point()}")
+    line_block = (
+        "'Line': {'line': %r, 'line_type': %r, 'line_endpoint': %r}"
+        % (lines, types, ends)
+    )
+    if rng.random() < 0.12:  # drop a required field -> zero elements
+        line_block = "'Line': {'line': %r, 'line_type': %r}" % (lines, types)
+    parts.append(line_block)
+    if rng.random() < 0.6:
+        n_c = int(rng.integers(0, 3))
+        centers = [f"O{j}: {point()}" for j in range(n_c)]
+        n_r = int(rng.integers(0, n_c + 2))
+        radii = [float(f"{rng.integers(1, 20)}.{rng.integers(0, 9)}") for _ in range(n_r)]
+        parts.append(
+            "'Circle': {'circle_center': %r, 'radius': %r}" % (centers, radii)
+        )
+    return "{" + ", ".join(parts) + "}"
+
+
+def test_geometry_elements_matches_reference_port(spark):
+    """200 seeded payloads across the domain, one Spark job, per-doc
+    element multisets must equal the statement port's."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260817)
+    payloads = [_gen_payload(rng) for _ in range(200)]
+    df = spark.createDataFrame(
+        list(enumerate(payloads)), "doc_id long, geometry string"
+    )
+    got = {}
+    for r in geometry_elements(df).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.kind, r.idx, r.x0, r.y0, r.x1, r.y1, r.label, r.style, r.radius)
+        )
+    mismatches = []
+    for i, p in enumerate(payloads):
+        exp = oracle_geometry(p)
+        if sorted(got.get(i, [])) != sorted(exp):
+            mismatches.append((p, sorted(exp), sorted(got.get(i, []))))
+    assert not mismatches, mismatches[:3]
