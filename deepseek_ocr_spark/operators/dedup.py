@@ -69,16 +69,24 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a text column (set semantics)."""
+    """Distinct n-word shingles of a text column (set semantics).
+
+    Built from n aligned slices folded with zip_with — O(n·len). The
+    per-index `transform(sequence(...), i -> slice(toks, i+1, n))` form
+    copies the token array per element (O(len²), CLAUDE.md rule 11)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    span = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    joined = F.slice(toks, 1, span)
+    for k in range(2, n + 1):
+        joined = F.zip_with(
+            joined,
+            F.slice(toks, k, span),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-            ),
-        ).otherwise(F.array(F.array_join(toks, " ")))
+        F.when(F.size(toks) >= n, joined).otherwise(
+            F.array(F.array_join(toks, " "))
+        )
     )
 
 
@@ -120,11 +128,17 @@ def _tokens_sql(col_sql: str) -> str:
 
 
 def _shingles_sql(col_sql: str, n: int = 3) -> str:
+    # same aligned-slices + zip_with fold as shingles() (O(n·len))
     toks = _tokens_sql(col_sql)
+    span = f"greatest(size({toks}) - {n - 1}, 1)"
+    joined = f"slice({toks}, 1, {span})"
+    for k in range(2, n + 1):
+        joined = (
+            f"zip_with({joined}, slice({toks}, {k}, {span}),"
+            " (x, y) -> concat(x, ' ', y))"
+        )
     return (
-        f"array_distinct(CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(0, greatest(size({toks}) - {n}, 0)),"
-        f" i -> array_join(slice({toks}, i + 1, {n}), ' ')) "
+        f"array_distinct(CASE WHEN size({toks}) >= {n} THEN {joined} "
         f"ELSE array(array_join({toks}, ' ')) END)"
     )
 
@@ -496,7 +510,9 @@ def jaccard_pairs_blocked(
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs within a blocking key (the
     quadratic baseline LSH approximates; blocked so the cross product
-    stays bounded)."""
+    stays bounded). doc ids keep their input type (string doc ids are
+    legal engine-wide and a bigint cast would throw under ANSI mode —
+    CLAUDE.md rule 4); numeric-typed callers cast in their projection."""
     sh = docs.select(
         *block_cols, F.col("doc_id"), shingles(F.col(text_col)).alias("sh")
     )
@@ -508,8 +524,8 @@ def jaccard_pairs_blocked(
     union = F.size(F.array_union("a.sh", "b.sh")).cast("double")
     return (
         pairs.select(
-            F.col("a.doc_id").cast("bigint").alias("doc_a"),
-            F.col("b.doc_id").cast("bigint").alias("doc_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             F.round(inter / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

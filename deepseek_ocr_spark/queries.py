@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.tiling import BPE_PAT as _BPE_PAT
 from .schema import EOS_SENTINEL
 
 # ---------------------------------------------------------------------------
@@ -293,14 +294,17 @@ def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: per-partition top-k then merge — Spark's TakeOrderedAndProject
     does exactly this, no full sort."""
     ev = _t(spark, sf_dir, "events")
+    # rank on the ROUNDED value (CLAUDE.md rule 2): DuckDB's ORDER BY
+    # binds to the rounded alias, so ranking raw here would diverge at
+    # ties that straddle the LIMIT boundary
     return (
-        ev.orderBy(F.desc("value"), F.asc("event_id"))
-        .limit(100)
-        .select(
+        ev.select(
             F.col("event_id").cast("bigint").alias("event_id"),
             "event_type",
             F.round("value", 6).alias("value"),
         )
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
     )
 
 
@@ -1161,12 +1165,9 @@ def a1_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("word_tokens"),
         # BPE-ish segmentation: leading-space word pieces, digit runs,
         # punctuation runs, whitespace runs (GPT-2 pattern family,
-        # RE2/Java-portable subset)
-        F.size(
-            F.regexp_extract_all(
-                "text", F.lit(r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"), 0
-            )
-        )
+        # RE2/Java-portable subset; single source: tiling.BPE_PAT,
+        # shared with p4's text_tokens so both report the same estimate)
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
         .cast("bigint")
         .alias("bpe_tokens"),
         fp.alias("fp"),
@@ -1179,12 +1180,12 @@ def a1_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_A1 = r"""
+SQL_A1 = rf"""
 WITH base AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
     CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
     CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
-    CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) AS BIGINT) AS bpe_tokens,
+    CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS bpe_tokens,
     md5(substr(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), 1, 64)) AS fp
   FROM documents
 )
@@ -1241,9 +1242,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
     AS stop_hit_ratio,
   CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS BIGINT) AS non_ascii_chars,
   CASE WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) > 0 THEN 'non_latin'
-       WHEN CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+       WHEN ROUND(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
             t -> t IN {_SW})) AS DOUBLE)
-         / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0) >= 0.05
+         / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0), 6) >= 0.05
        THEN 'en_like' ELSE 'unknown' END AS predicted
 FROM documents
 """
@@ -1569,13 +1570,14 @@ def p4_pad_token_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_p4() -> str:
     from .operators.tiling import (
         BASE_SIZE,
+        BPE_PAT,
         GLOBAL_TOKENS,
         IMAGE_SIZE,
         PAD_FILL,
         Q_TILE,
     )
 
-    bpe = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+    bpe = BPE_PAT  # single source of truth (tiling.py); a1 shares it
     return f"""
 WITH pages AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1664,6 +1666,10 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return jaccard_pairs_blocked(
         _t(spark, sf_dir, "documents"), ["lang", "source"], threshold=0.1
+    ).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "jaccard",
     )
 
 
@@ -1702,7 +1708,8 @@ SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.1
+WHERE ROUND(CAST(i.n_common AS DOUBLE) /
+            CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6) >= 0.1
 """
 
 

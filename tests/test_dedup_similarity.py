@@ -43,6 +43,25 @@ def test_exact_dedup(spark, dup_docs):
     assert all(g["n_dups"] == 2 for g in groups)
 
 
+def test_jaccard_blocked_accepts_string_doc_ids(spark):
+    """The quadratic baseline must run on the engine's own string
+    doc_id shape (schema.py contract); under ANSI mode a hard-coded
+    bigint cast would throw CAST_INVALID_INPUT (code-review r3)."""
+    rows = [
+        ("doc-host00.example-00000001", "the quick brown fox jumps over"),
+        ("doc-host00.example-00000002", "the quick brown fox jumps over"),
+        ("doc-host00.example-00000003", "completely unrelated text body here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string").withColumn(
+        "blk", F.lit(1)
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_pairs_blocked(df, ["blk"], threshold=0.1).collect()
+    }
+    assert got == {(rows[0][0], rows[1][0], 1.0)}
+
+
 @pytest.mark.parametrize("mode", ["fast", "portable"])
 def test_minhash_lsh_finds_planted_pairs(spark, dup_docs, mode):
     found = {

@@ -195,6 +195,33 @@ def test_x5_degenerate_sql_matches_duckdb(spark):
     assert spark_rows == duck_rows and len(spark_rows) > 0
 
 
+def test_topk_ranks_on_rounded_value(spark, tmp_path):
+    """q_topk_events must rank on the ROUNDED value with id tiebreak
+    (CLAUDE.md rule 2): DuckDB's ORDER BY binds to the rounded alias, so
+    ranking raw Spark-side diverges when sub-1e-6 raw differences
+    straddle the LIMIT boundary in the opposite order of event_id
+    (code-review r3 finding). Driver testdata never ties at 6 decimals,
+    so this plants the tie."""
+    from deepseek_ocr_spark import queries as Q
+
+    rows = [(i, "click", 1.0 - i * 0.001) for i in range(90)] + [
+        # 30-way tie at round(,6): raw values INCREASE with event_id, so
+        # raw-ranking would keep ids 110-119; rounded-ranking keeps 90-99
+        (i, "click", 0.5 + (i - 90) * 1e-9)
+        for i in range(90, 120)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    p = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    got = [tuple(r) for r in Q.q_topk_events(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{p}/*.parquet'")
+    exp = con.execute(Q.SQL_TOPK_EVENTS).fetchall()
+    assert sorted(got) == sorted(exp)
+    kept_tied = sorted(i for i, _, _ in got if i >= 90)
+    assert kept_tied == list(range(90, 100)), kept_tied
+
+
 def test_bucket_probe_str_vs_column_paths(spark):
     """r3 single-expr constructors: bucket and multi-probe lists built
     from ONE SQL parse must agree exactly with the Column-composed
