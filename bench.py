@@ -32,6 +32,11 @@ def _sf_from_dir(d: str) -> float:
     try:
         return float(base.replace("sf", ""))
     except ValueError:
+        print(
+            f"WARN: cannot parse scale factor from {base!r}; "
+            "assuming sf=0.1 (corpus size and the JSON 'sf' field follow)",
+            file=sys.stderr,
+        )
         return 0.1
 
 
@@ -70,6 +75,12 @@ def _corpus_path(kind: str, n_docs: int) -> str:
     return f"/tmp/spark_graft_{kind}_{n_docs}.parquet"
 
 
+def _corpus_ready(path: str) -> bool:
+    """A bare exists() check would reuse a partially-written corpus from
+    a killed run forever; the _SUCCESS marker lands only on commit."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def _materialize_corpus(spark, n_docs: int) -> tuple[str, str]:
     """Generate the synthetic interleaved corpus to parquet once (cached
     across bench runs) so extraction timing excludes Python generation."""
@@ -77,11 +88,11 @@ def _materialize_corpus(spark, n_docs: int) -> tuple[str, str]:
 
     docs_p = _corpus_path("documents", n_docs)
     pages_p = _corpus_path("pages", n_docs // 4)
-    if not os.path.exists(docs_p):
+    if not _corpus_ready(docs_p):
         corpus.spark_documents(spark, seed=42, n_docs=n_docs).write.mode(
             "overwrite"
         ).parquet(docs_p)
-    if not os.path.exists(pages_p):
+    if not _corpus_ready(pages_p):
         corpus.spark_pages(spark, seed=42, n_docs=n_docs // 4).write.mode(
             "overwrite"
         ).parquet(pages_p)
@@ -287,7 +298,10 @@ def main() -> None:
     # self-join enumerate ~600k pairs per key. The lag-window form is
     # multiplicity-linear; max per-key multiplicity is reported so the
     # bounded-blowup claim is a measurement, not prose.
-    from deepseek_ocr_spark.operators.ngram_ban import SEP, ngram_ban_flags
+    from deepseek_ocr_spark.operators.ngram_ban import (
+        ngram_array,
+        ngram_ban_flags,
+    )
 
     n_deg_docs = max(N_DOCS // 4, 1000)
     deg_docs = spark.range(n_deg_docs).select(
@@ -310,7 +324,7 @@ def main() -> None:
         .alias("text"),
     )
     deg_path = _corpus_path("f1deg", n_deg_docs)
-    if not os.path.exists(deg_path):
+    if not _corpus_ready(deg_path):
         deg_docs.write.mode("overwrite").parquet(deg_path)
     deg = spark.read.parquet(deg_path)
     deg.count()  # warm scan
@@ -321,15 +335,16 @@ def main() -> None:
         best = min(best, time.time() - t0)
     result["f1_degenerate_sec"] = round(best, 3)
     result["f1_degenerate_docs"] = n_deg_docs
-    # max per-(doc, ngram) key multiplicity actually present in the corpus
-    toks = F.split(F.col("text"), r"\s+")
-    span = F.size(toks) - 19
-    sl = [F.slice(toks, k + 1, span) for k in range(20)]
-    zipped = sl[0]
-    for k in range(1, 20):
-        zipped = F.zip_with(zipped, sl[k], lambda x, y: F.concat(x, F.lit(SEP), y))
+    # max per-(doc, ngram) key multiplicity actually present in the
+    # corpus — measured on the operator's OWN ngram identity
+    # (ngram_array is the shared constructor ngram_ban_flags shuffles on)
     result["f1_degenerate_max_multiplicity"] = (
-        deg.select(F.col("doc_id"), F.explode(zipped).alias("ng"))
+        deg.select(
+            F.col("doc_id"),
+            F.explode(ngram_array(F.split(F.col("text"), r"\s+"), 20)).alias(
+                "ng"
+            ),
+        )
         .groupBy("doc_id", "ng")
         .count()
         .agg(F.max("count"))
@@ -344,8 +359,10 @@ def main() -> None:
         # sublinear scaling); 400k docs x 256 files puts the 32-core run
         # at ~7s and yields equal per-core throughput.
         scale_docs = max(N_DOCS * 20, 400_000)
-        scale_p = _corpus_path("documents", scale_docs)
-        if not os.path.exists(scale_p):
+        # layout-keyed path: the headline corpus of the same size has
+        # default partitioning; reusing it would void the 256-file premise
+        scale_p = _corpus_path("documents_p256", scale_docs)
+        if not _corpus_ready(scale_p):
             from deepseek_ocr_spark import corpus
 
             corpus.spark_documents(spark, seed=42, n_docs=scale_docs).repartition(

@@ -38,6 +38,27 @@ SEP = "\x1f"  # token joiner for ngram identity (tokens never contain \x1f)
 WHITELIST = ("<td>", "</td>")  # ngram_norepeat.py:33 token-id whitelist
 
 
+def ngram_array(toks, n: int):
+    """SEP-joined n-gram key array of a token-array column — the single
+    source of the operator's ngram identity (bench.py's multiplicity
+    metric must measure the same key this operator shuffles on).
+
+    Built from n aligned slices folded with zip_with — O(n·len); the
+    per-index transform(sequence, j -> slice(toks, j, n)) form re-copies
+    the token array per element (O(len²), 6x slower at sf0.1). Docs
+    shorter than n tokens yield an empty array (guarded — an unguarded
+    negative-length slice would return empty arrays per slice and fold
+    to nothing only by accident of zip_with null-padding)."""
+    span = F.size(toks) - (n - 1)
+    sl = [F.slice(toks, k + 1, span) for k in range(n)]
+    zipped = sl[0]
+    for k in range(1, n):
+        zipped = F.zip_with(zipped, sl[k], lambda x, y: F.concat(x, F.lit(SEP), y))
+    return F.when(F.size(toks) >= n, zipped).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def ngram_ban_flags(
     docs: DataFrame,
     text_col: str = "text",
@@ -64,32 +85,19 @@ def ngram_ban_flags(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), r"\s+").alias("toks"),
     )
-    toks = F.col("toks")
-    # ngram array via n aligned slices folded with zip_with — O(n·len)
-    # total. The per-index transform(sequence, j -> slice(toks, j, n))
-    # alternative re-copies the token array per element (O(len²)) and
-    # was 6x slower at sf0.1.
-    span = F.size(toks) - (n - 1)
-    sl = [F.slice(toks, k + 1, span) for k in range(n)]
-    zipped = sl[0]
-    for k in range(1, n):
-        zipped = F.zip_with(zipped, sl[k], lambda x, y: F.concat(x, F.lit(SEP), y))
-    ngs = F.zip_with(
-        zipped,
-        sl[n - 1],
-        lambda ng, last: F.struct(ng.alias("ng"), last.alias("last_tok")),
-    )
     flat = (
         tokenized.select(
             "doc_id",
-            F.when(F.size(toks) >= n, ngs).otherwise(F.array()).alias("ngs"),
+            F.posexplode(ngram_array(F.col("toks"), n)).alias("start", "ng"),
         )
-        .select("doc_id", F.posexplode("ngs").alias("start", "g"))
+        # last token of the ngram = its last SEP field (tokens are
+        # SEP-free per the precondition above; n=1 has no SEP and
+        # substring_index returns the whole ngram, which IS the token)
         .select(
             "doc_id",
             "start",
-            F.col("g.ng").alias("ng"),
-            F.col("g.last_tok").alias("last_tok"),
+            "ng",
+            F.substring_index("ng", SEP, -1).alias("last_tok"),
         )
     )
     max_gap = window_size - n + 1

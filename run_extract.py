@@ -24,6 +24,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.partitions is not None and args.job != "spans":
+        ap.error("--partitions only applies to --job spans")
 
     from deepseek_ocr_spark import jobs
     from deepseek_ocr_spark.session import get_spark

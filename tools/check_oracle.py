@@ -54,6 +54,12 @@ def _rows_to_set(cols, rows):
 
 
 def main(only: list[str]) -> int:
+    unknown = [n for n in only if n not in Q.REGISTRY]
+    if unknown:
+        # a typo must not produce a green '0 failures' over zero queries
+        print(f"FAIL unknown query name(s): {unknown}")
+        print(f"known: {sorted(Q.REGISTRY)}")
+        return 1
     spark = get_spark(parallelism=8, shuffle_partitions=8, app_name="check-oracle")
     con = duckdb.connect()
     for t in TABLES:
@@ -74,9 +80,16 @@ def main(only: list[str]) -> int:
             failures += 1
             continue
         if sql is None:
-            print(f"ok   {name}: rows-only, {len(rows)} rows ({time.time()-t0:.1f}s)")
             if len(rows) == 0:
-                print(f"WARN {name}: zero rows")
+                # a flagship pipeline emitting nothing is a failure, not
+                # a warning — the gate must not stay green on it
+                print(f"FAIL {name}: rows-only query returned zero rows")
+                failures += 1
+            else:
+                print(
+                    f"ok   {name}: rows-only, {len(rows)} rows"
+                    f" ({time.time()-t0:.1f}s)"
+                )
             continue
         try:
             res = con.execute(sql)
@@ -96,8 +109,9 @@ def main(only: list[str]) -> int:
         if ok:
             a, b = _rows_to_set(cols, rows), _rows_to_set(ocols, orows)
             if a != b:
-                diff_a = [r for r in a if r not in set(b)][:3]
-                diff_b = [r for r in b if r not in set(a)][:3]
+                sa, sb = set(a), set(b)  # hoisted: once, not per row
+                diff_a = [r for r in a if r not in sb][:3]
+                diff_b = [r for r in b if r not in sa][:3]
                 print(f"FAIL {name}: value mismatch\n  spark-only: {diff_a}\n  duck-only:  {diff_b}")
                 ok = False
         if ok:
