@@ -1,0 +1,127 @@
+"""S9 REST serving layer: the /process endpoint must return exactly
+what the batch pipeline computes (same extract_pdf plan, one-document
+DataFrame), and the endpoint contract (errors, routes, locate) must
+hold. Reference surface: mlx_port/server.py:113-174 (/process),
+app.py:128-181."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from deepseek_ocr_spark import corpus, oracle
+from deepseek_ocr_spark.serving import ExtractServer
+
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = ExtractServer(spark)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=60
+    ) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    out = _get(server.port, "/healthz")
+    assert out["status"] == "ok" and out["spark"]
+
+
+def test_process_matches_batch_pipeline(server):
+    """POST /process on a fixture doc == the reference-semantics oracle
+    (hence == pipeline A, which the goldens pin to the same oracle)."""
+    doc_id, _, pages = corpus.gen_doc(SEED, 3)
+    contents = [c for _, c in pages]
+    got = _post(server.port, "/process", {"doc_id": doc_id, "pages": contents})
+    exp = oracle.oracle_pdf_doc(contents)
+    assert got["doc_id"] == doc_id
+    assert got["clean_text"] == exp["clean_text"]
+    assert [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in got["spans"]
+    ] == [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in exp["spans"]
+    ]
+    for k in ("pages_in", "pages_kept", "parse_failures", "media_spans"):
+        assert got[k] == exp["metrics"][k], k
+
+
+def test_process_single_content_shorthand(server):
+    """'content' (one page) mirrors run_dpsk_ocr_image.py's single-image
+    path and must equal the 1-element 'pages' form."""
+    _, _, pages = corpus.gen_doc(SEED, 5)
+    content = pages[0][1]
+    a = _post(server.port, "/process", {"content": content})
+    b = _post(server.port, "/process", {"pages": [content]})
+    assert a["clean_text"] == b["clean_text"]
+    assert a["spans"] == b["spans"]
+
+
+def test_process_rejects_malformed(server):
+    for payload in ({}, {"pages": "not-a-list"}, {"pages": [1, 2]}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server.port, "/process", payload)
+        assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server.port, "/nope")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/nope", {})
+    assert e.value.code == 404
+
+
+def test_locate_requires_table_then_serves_hits(spark, tmp_path):
+    from deepseek_ocr_spark.operators.extraction import extract_pdf
+
+    srv = ExtractServer(spark)
+    srv.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(srv.port, "/locate?label=media")
+        assert e.value.code == 409
+    finally:
+        srv.stop()
+
+    rows = [
+        (doc_id, page_no, content)
+        for i in range(4)
+        for doc_id, _, pages in [corpus.gen_doc(SEED, i)]
+        for page_no, content in pages
+    ]
+    pages_df = spark.createDataFrame(
+        rows, "doc_id string, page_no int, content string"
+    )
+    p = str(tmp_path / "documents")
+    extract_pdf(pages_df).write.mode("overwrite").parquet(p)
+
+    srv = ExtractServer(spark, table_path=p)
+    srv.start()
+    try:
+        out = _get(srv.port, "/locate?label=media&limit=5")
+        hits = out["hits"]
+        assert 0 < len(hits) <= 5
+        assert all(h["kind"] == "media" for h in hits)
+        assert all("offset" in h and "doc_id" in h for h in hits)
+    finally:
+        srv.stop()
