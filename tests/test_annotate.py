@@ -357,7 +357,11 @@ class TestPadTokenProperties:
             assert pos == r.seq_len
             assert img_toks == r.image_tokens
             small = w <= 640 and h <= 640
-            assert (r.w_tiles == 1 and r.h_tiles == 1) == small or not small
+            # biconditional: small ⇒ (1,1) bypass AND large ⇒ a real
+            # grid (MIN_CROPS ≥ 2 makes (1,1) unreachable except via
+            # the bypass) — the old `... == small or not small` form
+            # was vacuously true for every large image
+            assert (r.w_tiles == 1 and r.h_tiles == 1) == small
             if small:
                 assert r.image_tokens == GLOBAL_TOKENS
             else:

@@ -29,32 +29,35 @@ def bucketed(spark, sf_dir):
     shutil.rmtree(wh, ignore_errors=True)
 
 
-def test_colocated_join_no_exchange(bucketed):
+def test_colocated_join_no_exchange(bucketed, sf_dir):
     spark = bucketed
     # force the sort-merge path so the bucket co-location (not a
-    # broadcast) is what eliminates the shuffle
+    # broadcast) is what eliminates the shuffle; restore via finally —
+    # the session is suite-shared and a mid-test failure must not leak
+    # broadcast-off into the plan-shape tests
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    joined = colocated_join(spark, "bucketdb.li_b", "bucketdb.od_b", "l_orderkey")
-    agg = joined.groupBy("o_orderpriority").agg(
-        F.count("*").cast("bigint").alias("n")
-    )
-    # the join itself must not shuffle (bucket layout carries hashing)
-    assert join_has_no_shuffle(joined)
-    # and results equal the plain shuffle join
-    li = spark.read.parquet(
-        f"{spark.conf.get('spark.graft.sfdir', '/root/testdata/sf0.01')}/lineitem.parquet"
-    )
-    od = spark.read.parquet(
-        f"{spark.conf.get('spark.graft.sfdir', '/root/testdata/sf0.01')}/orders.parquet"
-    )
-    expected = {
-        (r["o_orderpriority"], r["n"])
-        for r in li.join(od, li.l_orderkey == od.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").cast("bigint").alias("n"))
-        .collect()
-    }
-    got = {(r["o_orderpriority"], r["n"]) for r in agg.collect()}
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    try:
+        joined = colocated_join(
+            spark, "bucketdb.li_b", "bucketdb.od_b", "l_orderkey"
+        )
+        agg = joined.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        # the join itself must not shuffle (bucket layout carries hashing)
+        assert join_has_no_shuffle(joined)
+        # and results equal the plain shuffle join over the SAME corpus
+        # the fixture bucketed (sf_dir, not a hardcoded sf0.01)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        expected = {
+            (r["o_orderpriority"], r["n"])
+            for r in li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .collect()
+        }
+        got = {(r["o_orderpriority"], r["n"]) for r in agg.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == expected

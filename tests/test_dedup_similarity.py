@@ -320,7 +320,8 @@ def test_embedding_dup_bucketed_recall(spark, clustered_vecs):
     }
     assert bucketed <= exact
     assert exact, "fixture must contain near-dup pairs"
-    recall = len(bucketed & exact) / len(exact)
+    # subset holds above, so recall is just the size ratio
+    recall = len(bucketed) / len(exact)
     assert recall >= 0.5, f"bucketed dup recall {recall}"
 
 

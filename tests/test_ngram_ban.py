@@ -28,11 +28,12 @@ def _spark_positions(spark, texts, n, w, whitelist=("<td>", "</td>")):
 
 
 def _oracle_positions(texts, n, w, whitelist=frozenset({"<td>", "</td>"})):
-    return {
-        str(i): set(oracle.oracle_ngram_ban(t.split(), n, w, whitelist))
-        for i, t in enumerate(texts)
-        if oracle.oracle_ngram_ban(t.split(), n, w, whitelist)
-    }
+    out = {}
+    for i, t in enumerate(texts):
+        s = set(oracle.oracle_ngram_ban(t.split(), n, w, whitelist))
+        if s:  # single oracle run per text (it is pure-Python and slow)
+            out[str(i)] = s
+    return out
 
 
 @pytest.mark.parametrize("n,w", SMALL_PARAMS)

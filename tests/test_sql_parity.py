@@ -145,7 +145,6 @@ def test_hyperplane_margins_str_vs_column_paths(spark):
     """The str (SQL-parsed) and Column constructions of the hyperplane
     margins must agree bitwise, for both fixed-dim and runtime-sliced
     forms, and the str path must enforce the dim guard too."""
-    import pytest as _pytest
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     from deepseek_ocr_spark.operators.similarity import (
@@ -166,7 +165,7 @@ def test_hyperplane_margins_str_vs_column_paths(spark):
             "vec_id", hyperplane_margins("embedding", 5, dim).alias("m")
         )
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, dim
-    with _pytest.raises(SparkRuntimeException, match="declared dim"):
+    with pytest.raises(SparkRuntimeException, match="declared dim"):
         vecs.select(hyperplane_margins("embedding", 4, dim=8)).collect()
     # non-finite literals must construct and round-trip (code-review r3:
     # repr() would emit unparseable 'nanD'/'infD')
