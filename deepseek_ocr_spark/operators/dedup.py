@@ -312,34 +312,14 @@ def minhash_lsh_pairs(
     # The DAG references this three ways (band branch + two verify
     # probes); cache so shingling runs once. At warehouse scale this is
     # the materialized signature table every minhash pipeline writes
-    # before banding. (Cache lifetime: see module docstring.)
-    if hash_mode == "portable":
-        # SQL-parsed constructors: identical trees to the Column forms,
-        # ~3 s less driver-side build time (see helpers above)
-        sh_col = F.expr(_portable_shingle_hashes_sql(f"`{text_col}`"))
-        sig_col = F.expr(_minhash_signature_portable_sql(f"`{text_col}`"))
-        band_of = _portable_band_sig
-    else:
-        sh_col = shingle_hashes(F.col(text_col))
-        sig_col = minhash_signature(F.col(text_col))
-
-        def band_of(sig: Column, b: int) -> Column:
-            return F.xxhash64(*[sig[b * LSH_ROWS + r] for r in range(LSH_ROWS)])
-
+    # before banding (minhash_signatures is that artifact, and the
+    # portable mode's SQL-parsed constructors live there).
+    # (Cache lifetime: see module docstring.)
     base = persist_swap(
         "minhash_sig",
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            sh_col.alias("sh"),
-            sig_col.alias("sig"),
-        ),
+        minhash_signatures(docs, text_col, id_col, hash_mode),
     )
-    bands = base.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[band_of(F.col("sig"), b) for b in range(LSH_BANDS)])
-        ).alias("band", "band_sig"),
-    )
+    bands = _band_explode(base, hash_mode)
     pairs = _bucket_pairs(bands, ["band", "band_sig"])
     sh_tab = base.select("doc_id", "sh")
     verified = (
@@ -355,6 +335,140 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """(doc_id, sh, sig) — the signature table ``minhash_lsh_pairs``
+    builds internally, exposed as a storable artifact: at warehouse
+    scale every incremental dedup pipeline materializes exactly this
+    (signatures are ~0.1% of text size) so history is never re-shingled.
+    Store it bucketed/partitioned however the probe joins need."""
+    if hash_mode == "portable":
+        sh_col = F.expr(_portable_shingle_hashes_sql(f"`{text_col}`"))
+        sig_col = F.expr(_minhash_signature_portable_sql(f"`{text_col}`"))
+    else:
+        sh_col = shingle_hashes(F.col(text_col))
+        sig_col = minhash_signature(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), sh_col.alias("sh"), sig_col.alias("sig")
+    )
+
+
+def _band_explode(sigs: DataFrame, hash_mode: str) -> DataFrame:
+    """(doc_id, band, band_sig) from a signature table."""
+    if hash_mode == "portable":
+        band_of = _portable_band_sig
+    else:
+
+        def band_of(sig: Column, b: int) -> Column:
+            return F.xxhash64(*[sig[b * LSH_ROWS + r] for r in range(LSH_ROWS)])
+
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_of(F.col("sig"), b) for b in range(LSH_BANDS)])
+        ).alias("band", "band_sig"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_sigs: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    hash_mode: str = "fast",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW slice against the accumulated corpus without
+    recomputing history — the shape a 100 TB ingest actually runs.
+
+    ``store_sigs`` is the persisted ``minhash_signatures`` table of all
+    previously-accepted documents (None/empty for the first slice).
+    Returns ``(dups, new_sigs)``:
+
+    - ``dups``: (doc_id, dup_of, jaccard, dup_in_store) — doc_id is
+      always a NEW doc; dup_of is a stored doc (dup_in_store=true) or a
+      smaller-id doc of the same slice. History×history pairs are never
+      produced (the store is already deduplicated).
+    - ``new_sigs``: the slice's signature rows; the caller appends them
+      (typically minus the dup doc_ids) to the store — operator stays
+      pure, storage/lineage lives with the caller (plans/lineage.py).
+
+    Scale shape: signatures are built for the NEW slice only; the probe
+    is a (band, band_sig) equi-join of 16 fixed-width rows per new doc
+    against the store's band view — shuffle volume scales with the
+    slice, and the store side avoids its shuffle entirely when the
+    signature table is stored bucketed by (band, band_sig). Verify
+    joins ship shingle sets only for the rare candidates, as in
+    ``minhash_lsh_pairs``. Identical-doc bucket floods cannot come from
+    history (deduped by construction); within-slice floods are bounded
+    by the same LSH_BUCKET_CAP discipline via ``minhash_lsh_pairs`` if
+    the slice itself is pathological."""
+    new_sigs = persist_swap(
+        "incr_minhash_sig",
+        minhash_signatures(new_docs, text_col, id_col, hash_mode),
+    )
+    nb = _band_explode(new_sigs, hash_mode)
+    if store_sigs is not None:
+        ob = _band_explode(store_sigs, hash_mode).withColumn(
+            "_stored", F.lit(True)
+        )
+        all_bands = ob.unionByName(nb.withColumn("_stored", F.lit(False)))
+    else:
+        all_bands = nb.withColumn("_stored", F.lit(False))
+    n = nb.select(
+        F.col("doc_id").alias("doc_id_new"), "band", "band_sig"
+    )
+    o = all_bands.select(
+        F.col("doc_id").alias("dup_of"), "band", "band_sig", "_stored"
+    )
+    cand = (
+        n.join(o, on=["band", "band_sig"])
+        # pair each new doc with history, or with an earlier slice doc
+        # (smaller id) — never with itself / a later one (no symmetric
+        # duplicates, no history×history pairs)
+        .filter(
+            F.col("_stored") | (F.col("dup_of") < F.col("doc_id_new"))
+        )
+        .select("doc_id_new", "dup_of", "_stored")
+        .dropDuplicates(["doc_id_new", "dup_of"])
+    )
+    sh_new = new_sigs.select("doc_id", "sh")
+    sh_all = (
+        store_sigs.select("doc_id", "sh").unionByName(sh_new)
+        if store_sigs is not None
+        else sh_new
+    )
+    joined = (
+        sh_new.join(F.broadcast(cand), sh_new.doc_id == cand.doc_id_new)
+        .select("doc_id_new", "dup_of", "_stored", F.col("sh").alias("sh_a"))
+        .join(sh_all, F.col("dup_of") == sh_all.doc_id)
+        .select(
+            "doc_id_new",
+            "dup_of",
+            "_stored",
+            "sh_a",
+            F.col("sh").alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    dups = (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("doc_id_new").alias("doc_id"),
+            "dup_of",
+            "jaccard",
+            F.col("_stored").alias("dup_in_store"),
+        )
+    )
+    return dups, new_sigs
 
 
 def lsh_bucket_stats(

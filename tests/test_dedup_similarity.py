@@ -43,6 +43,65 @@ def test_exact_dedup(spark, dup_docs):
     assert all(g["n_dups"] == 2 for g in groups)
 
 
+@pytest.mark.parametrize("mode", ["fast", "portable"])
+def test_incremental_dedup_probes_store_without_history_text(spark, mode):
+    """Slice-vs-history dedup: the second slice is checked against the
+    FIRST slice's stored signatures (no history text recomputation) and
+    against itself; history×history pairs are never re-emitted."""
+    from deepseek_ocr_spark.operators.dedup import incremental_minhash_dedup
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+    def text(seed, n=30):
+        import random
+
+        rnd = random.Random(seed)
+        return " ".join(words[rnd.randrange(10)] for _ in range(n))
+
+    slice_a = spark.createDataFrame(
+        [(i, text(i)) for i in range(20)] + [(20, text(5))],  # 20 dups 5
+        "doc_id long, text string",
+    )
+    dups_a, sigs_a = incremental_minhash_dedup(slice_a, None, hash_mode=mode)
+    got_a = {(r["doc_id"], r["dup_of"], r["dup_in_store"]) for r in dups_a.collect()}
+    assert got_a == {(20, 5, False)}
+
+    # persist the store exactly as a pipeline would
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="sigstore_") + "/sigs"
+    sigs_a.write.mode("overwrite").parquet(store)
+
+    near = text(7).split()
+    near[0] = "CHANGED"
+    slice_b = spark.createDataFrame(
+        [
+            (100, text(5)),  # exact dup of stored doc 5
+            (101, " ".join(near)),  # near dup of stored doc 7
+            (102, text(1002)),  # clean
+            (110, text(1003)),
+            (111, text(1003)),  # intra-slice dup of 110
+        ],
+        "doc_id long, text string",
+    )
+    store_sigs = spark.read.parquet(store)
+    dups_b, sigs_b = incremental_minhash_dedup(
+        slice_b, store_sigs, hash_mode=mode
+    )
+    got_b = {(r["doc_id"], r["dup_of"], r["dup_in_store"]) for r in dups_b.collect()}
+    assert (100, 5, True) in got_b
+    assert (101, 7, True) in got_b
+    assert (111, 110, False) in got_b
+    # every reported dup names a NEW doc on the left; clean docs absent
+    assert all(d in {100, 101, 110, 111} for d, _, _ in got_b)
+    assert 102 not in {d for d, _, _ in got_b}
+    # 100 is an exact dup of 5 — jaccard must verify at 1.0
+    assert {
+        r["jaccard"] for r in dups_b.collect() if r["doc_id"] == 100
+    } == {1.0}
+    assert sigs_b.count() == 5
+
+
 def test_jaccard_blocked_accepts_string_doc_ids(spark):
     """The quadratic baseline must run on the engine's own string
     doc_id shape (schema.py contract); under ANSI mode a hard-coded

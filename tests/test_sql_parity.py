@@ -194,6 +194,57 @@ def test_x5_degenerate_sql_matches_duckdb(spark):
     assert spark_rows == duck_rows and len(spark_rows) > 0
 
 
+def test_shingle_and_ngram_folds_match_naive_python(spark):
+    """Differential check of the aligned-slices zip_with constructors
+    (rule 11 rewrites) against naive Python n-gram builds, over one
+    batched Spark job: 200 seeded random texts + edge shapes (empty,
+    1/2/3 tokens, all-repeats, unicode, long)."""
+    import random
+
+    from deepseek_ocr_spark.operators.dedup import shingles
+    from deepseek_ocr_spark.operators.ngram_ban import SEP, ngram_array
+
+    rnd = random.Random(99)
+    words = ["a", "bb", "ccc", "züg", "x1", "<td>", "the"]
+    texts = [
+        "",
+        "one",
+        "two words",
+        "three tok ens",
+        "r r r r r r r r",
+        " ".join(rnd.choice(words) for _ in range(rnd.randrange(1, 80))),
+    ]
+    texts += [
+        " ".join(rnd.choice(words) for _ in range(rnd.randrange(1, 80)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: (r["sh"], r["ng"])
+        for r in df.select(
+            "i",
+            shingles(F.col("text")).alias("sh"),
+            ngram_array(F.split(F.col("text"), r"\s+"), 3).alias("ng"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.lower().split(" ")  # shingles() lowercases; \s+ split
+        # on these fixtures single-space split == \s+ split
+        if len(toks) >= 3:
+            exp_sh, exp_ng = [], []
+            for j in range(len(toks) - 2):
+                exp_sh.append(" ".join(toks[j : j + 3]))
+                exp_ng.append(SEP.join(t.split(" ")[j : j + 3]))
+            seen = set()
+            exp_sh = [s for s in exp_sh if not (s in seen or seen.add(s))]
+        else:
+            exp_sh, exp_ng = [" ".join(toks)], []
+        assert got[i][0] == exp_sh, (i, t)
+        assert got[i][1] == exp_ng, (i, t)
+
+
 def test_topk_ranks_on_rounded_value(spark, tmp_path):
     """q_topk_events must rank on the ROUNDED value with id tiebreak
     (CLAUDE.md rule 2): DuckDB's ORDER BY binds to the rounded alias, so
