@@ -603,27 +603,18 @@ def ivf_scan_stats(
     )
 
 
-def ivf_topk(
+def ivf_fit_centroids(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 2,
     seed: int = 42,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer (pyspark.ml)
-    assigns every vector to a cell; a query probes only its n_probe
-    nearest cells. The index build fits on a SAMPLE bounded at
-    IVF_FIT_SAMPLE rows (k-means centroids converge on a sample; the
-    fit cost stays flat as the corpus grows), so search cost drops from
-    O(N) to O(N·n_probe/n_cells) per query with an O(1)-ish build.
-
-    Centroids are collected to the driver (n_cells × dim floats — tiny)
-    and inlined as literals, so cell assignment of queries is pure
-    column arithmetic; no model object ships to executors at query time.
-    """
+) -> list[list[float]]:
+    """k-means coarse quantizer fit (pyspark.ml) on a SAMPLE bounded at
+    IVF_FIT_SAMPLE rows (centroids converge on a sample; fit cost stays
+    flat as the corpus grows). Returns plain Python centroids — tiny
+    (n_cells × dim floats), inlined as literals downstream so cell
+    assignment is pure column arithmetic and no model object ever ships
+    to executors."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -634,19 +625,91 @@ def ivf_topk(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return [list(map(float, c)) for c in model.clusterCenters()]
 
-    v = vectors.select(
+
+def ivf_index(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable IVF index: (neighbor_id, vec, cell). Write it
+    ``.partitionBy("cell")`` — ``ivf_probe`` then restricts the scan to
+    the probed cells with a literal IN filter, which parquet partition
+    pruning turns into reading only those cell directories (the
+    vector-store shape: build once, probe many, touch n_probe/n_cells
+    of the data per query batch). Centroid persistence is the caller's
+    two-liner (``centroids_to_df``/``centroids_from_df``)."""
+    return vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
     )
+
+
+def centroids_to_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """(cell, centroid) rows for parquet persistence next to the index."""
+    return spark.createDataFrame(
+        list(enumerate(centroids)), "cell int, centroid array<double>"
+    )
+
+
+def centroids_from_df(df: DataFrame) -> list[list[float]]:
+    rows = df.orderBy("cell").collect()
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def ivf_probe(
+    index: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k probe against a prebuilt (stored) IVF index. With
+    ``prune=True`` the distinct probe cells of the query batch are
+    collected first (≤ min(|Q|·n_probe, n_cells) ints — one tiny job)
+    and pushed as ``cell IN (...)``, so a cell-partitioned index scan
+    reads only the probed directories."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroids, n_probe)
+        ).alias("cell"),
     )
-    return _probe_and_rank(v, q, k)
+    if prune:
+        cells = sorted(
+            r["cell"] for r in q.select("cell").distinct().collect()
+        )
+        index = index.filter(F.col("cell").isin(cells))
+    return _probe_and_rank(index, q, k)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k in one shot: fit quantizer → assign cells →
+    probe (see ivf_fit_centroids / ivf_index / ivf_probe, which split
+    the same stages for the build-once-probe-many production shape).
+    Search cost drops from O(N) to O(N·n_probe/n_cells) per query with
+    an O(1)-ish build."""
+    centroids = ivf_fit_centroids(vectors, n_cells, seed, vec_col)
+    v = ivf_index(vectors, centroids, id_col, vec_col)
+    return ivf_probe(
+        v, centroids, queries, k, n_probe, id_col, vec_col, prune=False
+    )
 
 
 def embedding_dup_pairs(

@@ -384,6 +384,55 @@ def test_embedding_dup_bucketed_recall(spark, clustered_vecs):
     assert recall >= 0.5, f"bucketed dup recall {recall}"
 
 
+def test_ivf_persisted_index_probe_prunes_partitions(
+    spark, clustered_vecs, tmp_path
+):
+    """Build-once-probe-many: the persisted cell-partitioned IVF index
+    must (a) return the same ranking as the in-memory one-shot path and
+    (b) scan only the probed cell partitions (literal IN filter →
+    parquet partition pruning)."""
+    from deepseek_ocr_spark.operators.similarity import (
+        centroids_from_df,
+        centroids_to_df,
+        ivf_fit_centroids,
+        ivf_index,
+        ivf_probe,
+    )
+
+    cents = ivf_fit_centroids(clustered_vecs, n_cells=5, seed=7)
+    idx_p = str(tmp_path / "ivf_index")
+    cen_p = str(tmp_path / "ivf_centroids")
+    ivf_index(clustered_vecs, cents).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(idx_p)
+    centroids_to_df(spark, cents).write.mode("overwrite").parquet(cen_p)
+
+    # reload everything from storage, as a separate probe job would
+    stored_cents = centroids_from_df(spark.read.parquet(cen_p))
+    assert stored_cents == cents
+    stored_idx = spark.read.parquet(idx_p)
+    q = clustered_vecs.filter(F.col("vec_id").isin(0, 10, 20))
+    probed = ivf_probe(stored_idx, stored_cents, q, k=3, n_probe=2)
+    baseline = ivf_probe(
+        ivf_index(clustered_vecs, cents), cents, q, k=3, n_probe=2,
+        prune=False,
+    )
+    got = sorted(tuple(r) for r in probed.collect())
+    exp = sorted(tuple(r) for r in baseline.collect())
+    assert got == exp and len(got) == 9
+    # neighbors stay in-cluster (index round-trip didn't degrade search)
+    assert all(n // 10 == qid // 10 for qid, n, _, _ in got)
+    # the scan is partition-pruned to the probed cells only
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [cell" in plan, plan
+
+
 def test_guards_fail_loudly(spark, clustered_vecs, seeded_vecs):
     """Silent-degradation paths must raise instead (code-review r2):
     over-wide embeddings would null-collapse every LSH bucket; missing
