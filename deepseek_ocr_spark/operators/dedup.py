@@ -322,19 +322,9 @@ def minhash_lsh_pairs(
     bands = _band_explode(base, hash_mode)
     pairs = _bucket_pairs(bands, ["band", "band_sig"])
     sh_tab = base.select("doc_id", "sh")
-    verified = (
-        sh_tab.join(F.broadcast(pairs), sh_tab.doc_id == pairs.doc_a)
-        .select("doc_a", "doc_b", F.col("sh").alias("sh_a"))
-        .join(sh_tab, F.col("doc_b") == sh_tab.doc_id)
-        .select("doc_a", "doc_b", "sh_a", F.col("sh").alias("sh_b"))
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        verified.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_verify(
+        pairs, "doc_a", "doc_b", sh_tab, sh_tab, jaccard_threshold
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def minhash_signatures(
@@ -356,6 +346,40 @@ def minhash_signatures(
         sig_col = minhash_signature(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"), sh_col.alias("sh"), sig_col.alias("sig")
+    )
+
+
+def _jaccard_verify(
+    cand: DataFrame,
+    a_key: str,
+    b_key: str,
+    sh_a_tab: DataFrame,
+    sh_b_tab: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: cand(a_key, b_key,
+    *extras) joined to two (doc_id, sh) shingle tables → cand columns +
+    jaccard, filtered at threshold. The (rare) pair list is broadcast to
+    the first probe so document content crosses the wire at most once;
+    shared by the batch and incremental minhash paths."""
+    a = sh_a_tab.select(
+        F.col("doc_id").alias("_ida"), F.col("sh").alias("sh_a")
+    )
+    b = sh_b_tab.select(
+        F.col("doc_id").alias("_idb"), F.col("sh").alias("sh_b")
+    )
+    joined = (
+        a.join(F.broadcast(cand), F.col("_ida") == F.col(a_key))
+        .drop("_ida")
+        .join(b, F.col(b_key) == F.col("_idb"))
+        .drop("_idb")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .drop("sh_a", "sh_b")
     )
 
 
@@ -444,29 +468,13 @@ def incremental_minhash_dedup(
         if store_sigs is not None
         else sh_new
     )
-    joined = (
-        sh_new.join(F.broadcast(cand), sh_new.doc_id == cand.doc_id_new)
-        .select("doc_id_new", "dup_of", "_stored", F.col("sh").alias("sh_a"))
-        .join(sh_all, F.col("dup_of") == sh_all.doc_id)
-        .select(
-            "doc_id_new",
-            "dup_of",
-            "_stored",
-            "sh_a",
-            F.col("sh").alias("sh_b"),
-        )
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    dups = (
-        joined.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select(
-            F.col("doc_id_new").alias("doc_id"),
-            "dup_of",
-            "jaccard",
-            F.col("_stored").alias("dup_in_store"),
-        )
+    dups = _jaccard_verify(
+        cand, "doc_id_new", "dup_of", sh_new, sh_all, jaccard_threshold
+    ).select(
+        F.col("doc_id_new").alias("doc_id"),
+        "dup_of",
+        "jaccard",
+        F.col("_stored").alias("dup_in_store"),
     )
     return dups, new_sigs
 

@@ -707,6 +707,8 @@ def ivf_topk(
     an O(1)-ish build."""
     centroids = ivf_fit_centroids(vectors, n_cells, seed, vec_col)
     v = ivf_index(vectors, centroids, id_col, vec_col)
+    # prune=False: the in-memory one-shot path gains nothing from the
+    # IN filter (no partitioned scan) and skips its extra collect job
     return ivf_probe(
         v, centroids, queries, k, n_probe, id_col, vec_col, prune=False
     )
