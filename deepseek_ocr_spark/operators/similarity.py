@@ -295,26 +295,22 @@ def probe_buckets(
     return F.concat(F.array(bucket), flips)
 
 
-def _lsh_sides(
+def lsh_index(
     vectors: DataFrame,
-    queries: DataFrame,
-    n_planes: int,
-    n_tables: int,
-    n_probe: int,
-    id_col: str,
-    vec_col: str,
-    dim: int | None,
-) -> tuple[DataFrame, DataFrame]:
-    """(vector-side, query-side) bucketed frames for multi-table LSH.
-    Table t hashes with plane block [t·p, t·p+p); its bucket ids live in
-    the disjoint integer range [t·2^p, (t+1)·2^p), so a single int join
-    key carries (table, pattern) with no composite-key cost."""
-
-    def _with_offset(t: int):
-        off = t * 2**n_planes
-        # closure factory, NOT a default-arg lambda (CLAUDE.md rule 3)
-        return lambda b: (b + F.lit(off)).cast("int")
-
+    n_planes: int = N_PLANES,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """The persistable multi-table LSH index: (neighbor_id, vec, bucket)
+    — one row per (vector, table). Table t hashes with plane block
+    [t·p, t·p+p); its bucket ids live in the disjoint integer range
+    [t·2^p, (t+1)·2^p), so a single int join key carries
+    (table, pattern) with no composite-key cost. Write it
+    ``.partitionBy("bucket")`` and ``lsh_probe`` restricts the scan to
+    the probed buckets (same build-once-probe-many shape as
+    ivf_index/ivf_probe)."""
     vb = F.array(
         *[
             (
@@ -324,11 +320,29 @@ def _lsh_sides(
             for t in range(n_tables)
         ]
     )
-    v = vectors.select(
+    return vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         F.explode(vb).alias("bucket"),
     )
+
+
+def _lsh_query_side(
+    queries: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+) -> DataFrame:
+    """(query_id, qvec, bucket) probe rows across all tables."""
+
+    def _with_offset(t: int):
+        off = t * 2**n_planes
+        # closure factory, NOT a default-arg lambda (CLAUDE.md rule 3)
+        return lambda b: (b + F.lit(off)).cast("int")
+
     qb = F.concat(
         *[
             F.transform(
@@ -340,16 +354,15 @@ def _lsh_sides(
             for t in range(n_tables)
         ]
     )
-    q = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.explode(qb).alias("bucket"),
     )
-    return v, q
 
 
-def lsh_topk(
-    vectors: DataFrame,
+def lsh_probe(
+    index: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_planes: int = N_PLANES,
@@ -358,23 +371,23 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    prune: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's probe set
-    — per table, the primary LSH bucket plus n_probe-1 weakest-sign
-    flips. n_tables>1 is the production recall shape (VERDICT r2 #4):
-    L INDEPENDENT hash tables (disjoint plane blocks) OR'd together,
-    exactly the band-OR structure d3's MinHash-LSH uses; scan fraction
-    grows ~linearly in L while miss probability decays exponentially.
-    Within one table a vector lives in exactly one bucket and the probe
-    buckets are distinct, so duplicates only arise across tables —
-    deduped per (query, neighbor) pair before ranking (skipped entirely
-    at n_tables=1). Recall/scan-fraction measured in bench.py
-    (ann_recall_lsh, ann_scan_fraction_lsh) and tests."""
-    v, q = _lsh_sides(
-        vectors, queries, n_planes, n_tables, n_probe, id_col, vec_col, dim
+    """Top-k probe against a prebuilt (stored) LSH index; hashing
+    parameters must match the build. With ``prune=True`` the query
+    batch's distinct probe buckets are collected (≤ |Q|·tables·probe
+    ints — one tiny job) and pushed as ``bucket IN (...)`` so a
+    bucket-partitioned index scan reads only the probed directories."""
+    q = _lsh_query_side(
+        queries, n_planes, n_tables, n_probe, id_col, vec_col, dim
     )
+    if prune:
+        buckets = sorted(
+            r["bucket"] for r in q.select("bucket").distinct().collect()
+        )
+        index = index.filter(F.col("bucket").isin(buckets))
     scored = (
-        v.join(F.broadcast(q), on="bucket")
+        index.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -399,6 +412,47 @@ def lsh_topk(
     )
 
 
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    n_probe: int = 2,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's probe set
+    — per table, the primary LSH bucket plus n_probe-1 weakest-sign
+    flips. n_tables>1 is the production recall shape (VERDICT r2 #4):
+    L INDEPENDENT hash tables (disjoint plane blocks) OR'd together,
+    exactly the band-OR structure d3's MinHash-LSH uses; scan fraction
+    grows ~linearly in L while miss probability decays exponentially.
+    Within one table a vector lives in exactly one bucket and the probe
+    buckets are distinct, so duplicates only arise across tables —
+    deduped per (query, neighbor) pair before ranking (skipped entirely
+    at n_tables=1). Recall/scan-fraction measured in bench.py
+    (ann_recall_lsh, ann_scan_fraction_lsh) and tests.
+
+    One-shot composition of lsh_index + lsh_probe (prune=False: the
+    in-memory path gains nothing from the IN filter and skips its
+    collect job); the split stages are the build-once-probe-many
+    production shape."""
+    return lsh_probe(
+        lsh_index(vectors, n_planes, n_tables, id_col, vec_col, dim),
+        queries,
+        k,
+        n_planes,
+        n_probe,
+        n_tables,
+        id_col,
+        vec_col,
+        dim,
+        prune=False,
+    )
+
+
 def lsh_scan_stats(
     vectors: DataFrame,
     queries: DataFrame,
@@ -413,8 +467,9 @@ def lsh_scan_stats(
     distinct (query, neighbor) pairs the probe set actually scores vs
     the full Q·(N-1) brute-force scan. Reported next to recall in bench
     so the recall/scan tradeoff is visible, not vibes."""
-    v, q = _lsh_sides(
-        vectors, queries, n_planes, n_tables, n_probe, id_col, vec_col, dim
+    v = lsh_index(vectors, n_planes, n_tables, id_col, vec_col, dim)
+    q = _lsh_query_side(
+        queries, n_planes, n_tables, n_probe, id_col, vec_col, dim
     )
     cand = (
         v.drop("vec")

@@ -2105,7 +2105,7 @@ def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_s2() -> str:
     """Multi-table LSH oracle: table t uses plane block [t·p, t·p+p)
     with bucket ids offset into the disjoint range [t·2^p, (t+1)·2^p) —
-    the literal mirror of similarity._lsh_sides. Cross-table candidate
+    the literal mirror of similarity.lsh_index/_lsh_query_side. Cross-table candidate
     dedup is SELECT DISTINCT (sim is pair-deterministic)."""
     np_, nprobe, nt, k = _S2_PLANES, _S2_PROBE, _S2_TABLES, 5
     margins = ",\n    ".join(

@@ -433,6 +433,41 @@ def test_ivf_persisted_index_probe_prunes_partitions(
     assert "PartitionFilters: [cell" in plan, plan
 
 
+def test_lsh_persisted_index_probe_prunes_partitions(
+    spark, clustered_vecs, tmp_path
+):
+    """LSH twin of the IVF persisted-index test: a bucket-partitioned
+    stored index probed with pruning must match the in-memory one-shot
+    lsh_topk and scan only the probed bucket partitions."""
+    from deepseek_ocr_spark.operators.similarity import (
+        lsh_index,
+        lsh_probe,
+        lsh_topk,
+    )
+
+    kw = dict(n_planes=6, n_tables=2, dim=16)
+    idx_p = str(tmp_path / "lsh_index")
+    lsh_index(clustered_vecs, 6, 2, dim=16).write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(idx_p)
+    q = clustered_vecs.filter(F.col("vec_id").isin(0, 10, 20))
+    probed = lsh_probe(
+        spark.read.parquet(idx_p), q, k=3, n_probe=2, **kw
+    )
+    got = sorted(tuple(r) for r in probed.collect())
+    exp = sorted(
+        tuple(r) for r in lsh_topk(clustered_vecs, q, k=3, n_probe=2, **kw).collect()
+    )
+    assert got == exp and len(got) > 0
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain(mode="formatted")
+    assert "PartitionFilters: [bucket" in buf.getvalue()
+
+
 def test_guards_fail_loudly(spark, clustered_vecs, seeded_vecs):
     """Silent-degradation paths must raise instead (code-review r2):
     over-wide embeddings would null-collapse every LSH bucket; missing
