@@ -76,6 +76,81 @@ def run_pages_job(
     return docs
 
 
+def run_dedup_job(
+    spark: SparkSession,
+    input_path: str,
+    store_dir: str,
+    jaccard_threshold: float = 0.5,
+    hash_mode: str = "fast",
+) -> dict:
+    """Incremental corpus dedup: dedup the input slice against the
+    accumulated signature store, append the accepted (non-dup) docs'
+    signatures, and log the dup pairs. Idempotent: doc_ids already in
+    the store are skipped up front (anti-join resume, same philosophy
+    as plans/lineage.py), so re-running a slice is a no-op.
+
+    Store layout: ``{store_dir}/signatures`` (the minhash_signatures
+    table — only ever grows by accepted docs, so it stays deduped,
+    which is what keeps history×history pairs impossible) and
+    ``{store_dir}/dups`` (append-only pair log with a slice column).
+    The two writes are not one atomic commit here; on Iceberg both
+    become a single transaction (MERGE + append), per the
+    plans/lineage.py mapping."""
+    from .operators.dedup import incremental_minhash_dedup
+
+    docs = spark.read.parquet(input_path)
+    if "text" not in docs.columns:  # interleaved-span shape → flat text
+        docs = docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    "spans", lambda s: F.coalesce(s["text"], F.lit(""))
+                ),
+                " ",
+            ).alias("text"),
+        )
+    sig_path = f"{store_dir}/signatures"
+    try:
+        store_sigs = spark.read.parquet(sig_path)
+    except Exception:
+        store_sigs = None
+    n_in = docs.count()
+    if store_sigs is not None:
+        docs = docs.join(
+            store_sigs.select("doc_id"), on="doc_id", how="left_anti"
+        )
+    n_new = docs.count()
+    if n_new == 0:
+        total = store_sigs.count() if store_sigs is not None else 0
+        return {
+            "docs_in": n_in,
+            "docs_new": 0,
+            "dups_found": 0,
+            "accepted": 0,
+            "store_total": total,
+        }
+    dups, new_sigs = incremental_minhash_dedup(
+        docs, store_sigs, jaccard_threshold=jaccard_threshold,
+        hash_mode=hash_mode,
+    )
+    dup_rows = dups.withColumn("slice_docs", F.lit(n_new))
+    dup_rows.write.mode("append").parquet(f"{store_dir}/dups")
+    dup_ids = spark.read.parquet(f"{store_dir}/dups").select(
+        F.col("doc_id")
+    ).distinct()
+    accepted = new_sigs.join(dup_ids, on="doc_id", how="left_anti")
+    accepted.write.mode("append").parquet(sig_path)
+    n_dups = dup_ids.join(new_sigs, on="doc_id", how="left_semi").count()
+    total = spark.read.parquet(sig_path).count()
+    return {
+        "docs_in": n_in,
+        "docs_new": n_new,
+        "dups_found": n_dups,
+        "accepted": n_new - n_dups,
+        "store_total": total,
+    }
+
+
 def locate_job(
     spark: SparkSession, input_path: str, label: str
 ) -> DataFrame:

@@ -2,8 +2,8 @@
 
     spark-submit --py-files dist/deepseek_ocr_spark.zip run_extract.py \
         --input <documents-or-pages parquet> --output <dir> \
-        --job spans|pages|locate [--label title] [--no-resume] \
-        [--partitions N]
+        --job spans|pages|locate|dedup [--label title] [--no-resume] \
+        [--partitions N]   (--output is the signature-store dir for dedup)
 
 Local run: python run_extract.py --input ... --output ... --job spans
 """
@@ -19,7 +19,9 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=False)
-    ap.add_argument("--job", choices=["spans", "pages", "locate"], default="spans")
+    ap.add_argument(
+        "--job", choices=["spans", "pages", "locate", "dedup"], default="spans"
+    )
     ap.add_argument("--label", default="title", help="span kind for --job locate")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
@@ -47,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--output required for --job pages")
         docs = jobs.run_pages_job(spark, args.input, args.output)
         print(json.dumps({"docs": docs.count()}))
+    elif args.job == "dedup":
+        if not args.output:
+            ap.error("--output (the signature-store dir) required for --job dedup")
+        print(json.dumps(jobs.run_dedup_job(spark, args.input, args.output)))
     else:
         out = jobs.locate_job(spark, args.input, args.label)
         for r in out.limit(20).collect():

@@ -33,6 +33,46 @@ def test_spans_job_resume_cycle(spark):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def test_dedup_job_incremental_and_idempotent(spark):
+    """Two slices through the store: cross-slice dups found without
+    re-shingling slice 1; re-running a slice is a no-op (anti-join
+    resume); the store only accumulates accepted docs."""
+    base = tempfile.mkdtemp(prefix="dedup_job_")
+    in1, in2, store = f"{base}/in1", f"{base}/in2", f"{base}/store"
+    try:
+        rows1 = [(i, f"unique text number {i} alpha beta gamma delta") for i in range(10)]
+        rows1.append((10, rows1[3][1]))  # intra-slice dup of 3
+        spark.createDataFrame(rows1, "doc_id long, text string").write.parquet(in1)
+        s1 = jobs.run_dedup_job(spark, in1, store)
+        assert s1 == {
+            "docs_in": 11,
+            "docs_new": 11,
+            "dups_found": 1,
+            "accepted": 10,
+            "store_total": 10,
+        }
+        # re-run slice 1: everything already in store or logged as dup
+        s1b = jobs.run_dedup_job(spark, in1, store)
+        assert s1b["docs_new"] == 1 and s1b["dups_found"] == 1
+        assert s1b["store_total"] == 10
+
+        rows2 = [
+            (100, rows1[5][1]),  # dup of stored doc 5
+            (101, "completely new text epsilon zeta eta theta iota"),
+        ]
+        spark.createDataFrame(rows2, "doc_id long, text string").write.parquet(in2)
+        s2 = jobs.run_dedup_job(spark, in2, store)
+        assert s2["docs_new"] == 2 and s2["dups_found"] == 1
+        assert s2["accepted"] == 1 and s2["store_total"] == 11
+        dup_pairs = {
+            (r["doc_id"], r["dup_of"], r["dup_in_store"])
+            for r in spark.read.parquet(f"{store}/dups").collect()
+        }
+        assert (100, 5, True) in dup_pairs and (10, 3, False) in dup_pairs
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_pages_job_sinks(spark):
     in_dir = tempfile.mkdtemp(prefix="pj_in_")
     out_dir = tempfile.mkdtemp(prefix="pj_out_")
