@@ -91,12 +91,28 @@ def run_dedup_job(
 
     Store layout: ``{store_dir}/signatures`` (the minhash_signatures
     table — only ever grows by accepted docs, so it stays deduped,
-    which is what keeps history×history pairs impossible) and
-    ``{store_dir}/dups`` (append-only pair log with a slice column).
-    The two writes are not one atomic commit here; on Iceberg both
-    become a single transaction (MERGE + append), per the
-    plans/lineage.py mapping."""
+    which is what keeps history×history pairs impossible),
+    ``{store_dir}/dups`` (append-only pair log with a slice column),
+    and ``{store_dir}/meta`` (the store's hash_mode — a mode mismatch
+    would silently never match any stored band signature, so it is
+    rejected up front). "Decided" doc_ids — accepted into the store OR
+    already logged as dups — are skipped on re-runs, so re-running a
+    slice is a true no-op. The writes are not one atomic commit here;
+    on Iceberg they become a single transaction (MERGE + append), per
+    the plans/lineage.py mapping."""
+    from pyspark.errors import AnalysisException
+
     from .operators.dedup import incremental_minhash_dedup
+
+    def _read_or_none(path: str):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            # ONLY a missing path means "first run"; a corrupt/unreadable
+            # store must fail loudly, not be silently rebuilt from empty
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
 
     docs = spark.read.parquet(input_path)
     if "text" not in docs.columns:  # interleaved-span shape → flat text
@@ -110,45 +126,83 @@ def run_dedup_job(
             ).alias("text"),
         )
     sig_path = f"{store_dir}/signatures"
+    dups_path = f"{store_dir}/dups"
+    meta_path = f"{store_dir}/meta"
+    meta = _read_or_none(meta_path)
+    if meta is not None:
+        stored_mode = meta.collect()[0]["hash_mode"]
+        if stored_mode != hash_mode:
+            raise ValueError(
+                f"store at {store_dir} was built with hash_mode="
+                f"{stored_mode!r}; this run passed {hash_mode!r} — the "
+                "band signatures would never match and every stored dup "
+                "would be missed"
+            )
+    else:
+        spark.createDataFrame(
+            [(hash_mode,)], "hash_mode string"
+        ).write.mode("overwrite").parquet(meta_path)
+
+    store_sigs = _read_or_none(sig_path)
+    prior_dups = _read_or_none(dups_path)
+    decided = store_sigs.select("doc_id") if store_sigs is not None else None
+    if prior_dups is not None:
+        d = prior_dups.select("doc_id").distinct()
+        decided = d if decided is None else decided.unionByName(d)
+
+    docs = docs.persist()  # two counts + the signature build read it
     try:
-        store_sigs = spark.read.parquet(sig_path)
-    except Exception:
-        store_sigs = None
-    n_in = docs.count()
-    if store_sigs is not None:
-        docs = docs.join(
-            store_sigs.select("doc_id"), on="doc_id", how="left_anti"
+        n_in = docs.count()
+        docs_new = (
+            docs.join(decided, on="doc_id", how="left_anti")
+            if decided is not None
+            else docs
         )
-    n_new = docs.count()
-    if n_new == 0:
-        total = store_sigs.count() if store_sigs is not None else 0
+        n_new = docs_new.count()
+        prev_total = store_sigs.count() if store_sigs is not None else 0
+        if n_new == 0:
+            return {
+                "docs_in": n_in,
+                "docs_new": 0,
+                "dups_found": 0,
+                "accepted": 0,
+                "store_total": prev_total,
+            }
+        dups, new_sigs = incremental_minhash_dedup(
+            docs_new,
+            store_sigs,
+            jaccard_threshold=jaccard_threshold,
+            hash_mode=hash_mode,
+        )
+        # MATERIALIZE before touching the store paths: dups/new_sigs
+        # lineage READS dups_path (via the decided anti-join) and
+        # sig_path (the probe) — appending to those paths and then
+        # re-evaluating the lazy plans re-reads the just-written files
+        # and silently changes the result (observed: a logged dup
+        # re-counted as 0 and re-accepted). localCheckpoint cuts the
+        # lineage at materialized partitions.
+        dups = dups.localCheckpoint()
+        dup_ids = dups.select("doc_id").distinct()
+        n_dups = dup_ids.count()
+        accepted = new_sigs.join(
+            dup_ids, on="doc_id", how="left_anti"
+        ).localCheckpoint()
+        accepted.write.mode("append").parquet(sig_path)
+        dups.withColumn("slice_docs", F.lit(n_new)).write.mode(
+            "append"
+        ).parquet(dups_path)
+        # drop this session's stale file listings for the next caller
+        spark.catalog.refreshByPath(sig_path)
+        spark.catalog.refreshByPath(dups_path)
         return {
             "docs_in": n_in,
-            "docs_new": 0,
-            "dups_found": 0,
-            "accepted": 0,
-            "store_total": total,
+            "docs_new": n_new,
+            "dups_found": n_dups,
+            "accepted": n_new - n_dups,
+            "store_total": prev_total + n_new - n_dups,
         }
-    dups, new_sigs = incremental_minhash_dedup(
-        docs, store_sigs, jaccard_threshold=jaccard_threshold,
-        hash_mode=hash_mode,
-    )
-    dup_rows = dups.withColumn("slice_docs", F.lit(n_new))
-    dup_rows.write.mode("append").parquet(f"{store_dir}/dups")
-    dup_ids = spark.read.parquet(f"{store_dir}/dups").select(
-        F.col("doc_id")
-    ).distinct()
-    accepted = new_sigs.join(dup_ids, on="doc_id", how="left_anti")
-    accepted.write.mode("append").parquet(sig_path)
-    n_dups = dup_ids.join(new_sigs, on="doc_id", how="left_semi").count()
-    total = spark.read.parquet(sig_path).count()
-    return {
-        "docs_in": n_in,
-        "docs_new": n_new,
-        "dups_found": n_dups,
-        "accepted": n_new - n_dups,
-        "store_total": total,
-    }
+    finally:
+        docs.unpersist()
 
 
 def locate_job(

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import random as _random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._cache import persist_swap
@@ -431,8 +431,11 @@ def incremental_minhash_dedup(
     joins ship shingle sets only for the rare candidates, as in
     ``minhash_lsh_pairs``. Identical-doc bucket floods cannot come from
     history (deduped by construction); within-slice floods are bounded
-    by the same LSH_BUCKET_CAP discipline via ``minhash_lsh_pairs`` if
-    the slice itself is pathological."""
+    by capping the TARGET side of each (band, band_sig) bucket at
+    LSH_BUCKET_CAP members (stored members kept first — they are the
+    canonical dup targets — then smallest ids), so a pathological
+    all-identical slice yields ≤ 16·CAP candidates per new doc instead
+    of M²/2 rows broadcast to the verify join."""
     new_sigs = persist_swap(
         "incr_minhash_sig",
         minhash_signatures(new_docs, text_col, id_col, hash_mode),
@@ -448,8 +451,17 @@ def incremental_minhash_dedup(
     n = nb.select(
         F.col("doc_id").alias("doc_id_new"), "band", "band_sig"
     )
-    o = all_bands.select(
-        F.col("doc_id").alias("dup_of"), "band", "band_sig", "_stored"
+    # cap the target side per bucket (docstring: bounded fan-out);
+    # stored docs rank first so truncation never hides a history dup
+    w = Window.partitionBy("band", "band_sig").orderBy(
+        F.col("_stored").desc(), F.col("doc_id").asc()
+    )
+    o = (
+        all_bands.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= LSH_BUCKET_CAP)
+        .select(
+            F.col("doc_id").alias("dup_of"), "band", "band_sig", "_stored"
+        )
     )
     cand = (
         n.join(o, on=["band", "band_sig"])

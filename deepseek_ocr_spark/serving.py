@@ -81,13 +81,24 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             q = parse_qs(url.query)
             label = q.get("label", ["title"])[0]
-            limit = min(int(q.get("limit", ["20"])[0]), 1000)
-            rows = (
-                locate_job(self.server.spark, self.server.table_path, label)
-                .orderBy("doc_id", "offset")
-                .limit(limit)
-                .collect()
-            )
+            try:
+                limit = int(q.get("limit", ["20"])[0])
+            except ValueError:
+                self._reply(400, {"error": "limit must be an integer"})
+                return
+            limit = max(1, min(limit, 1000))
+            try:
+                rows = (
+                    locate_job(
+                        self.server.spark, self.server.table_path, label
+                    )
+                    .orderBy("doc_id", "offset")
+                    .limit(limit)
+                    .collect()
+                )
+            except Exception as e:  # bad table_path / Spark failure
+                self._reply(500, {"error": str(e)[:500]})
+                return
             self._reply(200, {"hits": [r.asDict() for r in rows]})
         else:
             self._reply(404, {"error": f"no route {url.path}"})
@@ -103,6 +114,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply(413, {"error": "body too large"})
                 return
             req = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(req, dict):
+                raise ValueError("body must be a JSON object")
             # single-page shorthand mirrors run_dpsk_ocr_image.py's one
             # image; "pages" is the PDF shape (ordered list)
             if "pages" in req:
@@ -111,17 +124,22 @@ class _Handler(BaseHTTPRequestHandler):
                 pages = [req["content"]]
             else:
                 raise ValueError("need 'pages' (list) or 'content' (str)")
-            if not isinstance(pages, list) or not all(
-                isinstance(p, str) for p in pages
+            if (
+                not isinstance(pages, list)
+                or not pages  # all() on [] is vacuously true
+                or not all(isinstance(p, str) for p in pages)
             ):
-                raise ValueError("'pages' must be a list of strings")
+                raise ValueError("'pages' must be a non-empty list of strings")
             doc_id = str(req.get("doc_id", "request"))
         except (ValueError, json.JSONDecodeError) as e:
             self._reply(400, {"error": str(e)})
             return
-        self._reply(
-            200, process_document(self.server.spark, doc_id, pages)
-        )
+        try:
+            out = process_document(self.server.spark, doc_id, pages)
+        except Exception as e:  # Spark failure must not kill the reply
+            self._reply(500, {"error": str(e)[:500]})
+            return
+        self._reply(200, out)
 
 
 class ExtractServer(ThreadingHTTPServer):

@@ -102,6 +102,26 @@ def test_incremental_dedup_probes_store_without_history_text(spark, mode):
     assert sigs_b.count() == 5
 
 
+def test_incremental_dedup_caps_identical_doc_flood(spark):
+    """An all-identical slice must not explode the candidate join
+    (M²/2 pairs): the target side of each bucket is capped at
+    LSH_BUCKET_CAP, yet every doc after the first is still flagged
+    (the smallest id survives truncation and catches them all)."""
+    from deepseek_ocr_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        incremental_minhash_dedup,
+    )
+
+    m = 3 * LSH_BUCKET_CAP
+    docs = spark.createDataFrame(
+        [(i, "same text repeated in every single document here") for i in range(m)],
+        "doc_id long, text string",
+    )
+    dups, _ = incremental_minhash_dedup(docs, None)
+    flagged = {r["doc_id"] for r in dups.collect()}
+    assert flagged == set(range(1, m))
+
+
 def test_jaccard_blocked_accepts_string_doc_ids(spark):
     """The quadratic baseline must run on the engine's own string
     doc_id shape (schema.py contract); under ANSI mode a hard-coded

@@ -51,10 +51,21 @@ def test_dedup_job_incremental_and_idempotent(spark):
             "accepted": 10,
             "store_total": 10,
         }
-        # re-run slice 1: everything already in store or logged as dup
+        # re-run slice 1: every doc is already DECIDED (accepted into
+        # the store or logged as a dup) — a true no-op
         s1b = jobs.run_dedup_job(spark, in1, store)
-        assert s1b["docs_new"] == 1 and s1b["dups_found"] == 1
-        assert s1b["store_total"] == 10
+        assert s1b == {
+            "docs_in": 11,
+            "docs_new": 0,
+            "dups_found": 0,
+            "accepted": 0,
+            "store_total": 10,
+        }
+        # a hash-mode mismatch with the store must fail loudly
+        import pytest
+
+        with pytest.raises(ValueError, match="hash_mode"):
+            jobs.run_dedup_job(spark, in1, store, hash_mode="portable")
 
         rows2 = [
             (100, rows1[5][1]),  # dup of stored doc 5

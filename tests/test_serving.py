@@ -79,10 +79,22 @@ def test_process_single_content_shorthand(server):
 
 
 def test_process_rejects_malformed(server):
-    for payload in ({}, {"pages": "not-a-list"}, {"pages": [1, 2]}):
+    for payload in (
+        {},
+        {"pages": "not-a-list"},
+        {"pages": [1, 2]},
+        {"pages": []},  # all() on [] is vacuously true — must 400
+        ["pages"],  # non-dict JSON: 'in' would match the element
+        "string with pages inside",  # non-dict: substring containment
+    ):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(server.port, "/process", payload)
-        assert e.value.code == 400
+        assert e.value.code == 400, payload
+    # /locate param validation
+    srv_404 = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(srv_404.port, "/locate?limit=abc")
+    assert e.value.code in (400, 409)  # 409 when no table_path wins first
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server.port, "/nope")
     assert e.value.code == 404
