@@ -430,38 +430,40 @@ def incremental_minhash_dedup(
     signature table is stored bucketed by (band, band_sig). Verify
     joins ship shingle sets only for the rare candidates, as in
     ``minhash_lsh_pairs``. Identical-doc bucket floods cannot come from
-    history (deduped by construction); within-slice floods are bounded
-    by capping the TARGET side of each (band, band_sig) bucket at
-    LSH_BUCKET_CAP members (stored members kept first — they are the
-    canonical dup targets — then smallest ids), so a pathological
+    history — the store is deduped by construction, so its band
+    collisions are rare accidents, never identical-doc clusters — which
+    is why only the SLICE's contribution to the target side is capped
+    (smallest LSH_BUCKET_CAP ids per (band, band_sig)): a pathological
     all-identical slice yields ≤ 16·CAP candidates per new doc instead
-    of M²/2 rows broadcast to the verify join."""
+    of M²/2 rows broadcast to the verify join, and the capping window
+    shuffles 16 fixed-width rows per SLICE doc only (the store side
+    stays window-free, keeping probe cost slice-scaled)."""
     new_sigs = persist_swap(
         "incr_minhash_sig",
         minhash_signatures(new_docs, text_col, id_col, hash_mode),
     )
     nb = _band_explode(new_sigs, hash_mode)
+    # cap the SLICE's contribution to the target side per bucket
+    # (docstring: bounded fan-out, slice-scaled window)
+    w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    nb_capped = (
+        nb.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= LSH_BUCKET_CAP)
+        .select("doc_id", "band", "band_sig")
+        .withColumn("_stored", F.lit(False))
+    )
     if store_sigs is not None:
         ob = _band_explode(store_sigs, hash_mode).withColumn(
             "_stored", F.lit(True)
         )
-        all_bands = ob.unionByName(nb.withColumn("_stored", F.lit(False)))
+        all_bands = ob.unionByName(nb_capped)
     else:
-        all_bands = nb.withColumn("_stored", F.lit(False))
+        all_bands = nb_capped
     n = nb.select(
         F.col("doc_id").alias("doc_id_new"), "band", "band_sig"
     )
-    # cap the target side per bucket (docstring: bounded fan-out);
-    # stored docs rank first so truncation never hides a history dup
-    w = Window.partitionBy("band", "band_sig").orderBy(
-        F.col("_stored").desc(), F.col("doc_id").asc()
-    )
-    o = (
-        all_bands.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= LSH_BUCKET_CAP)
-        .select(
-            F.col("doc_id").alias("dup_of"), "band", "band_sig", "_stored"
-        )
+    o = all_bands.select(
+        F.col("doc_id").alias("dup_of"), "band", "band_sig", "_stored"
     )
     cand = (
         n.join(o, on=["band", "band_sig"])
