@@ -131,3 +131,63 @@ def test_streaming_incremental_batches(spark):
     finally:
         for d in (in_dir, out_dir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_adversarial_fuzz_batch_matches_oracle(spark):
+    """150 seeded adversarial documents — malformed/partial grounding
+    tokens, unparseable det payloads, duplicate identical blocks,
+    unicode, EOS in odd positions, whitespace-only pages — through ONE
+    extract_pdf job, every doc compared byte-exactly to the
+    reference-semantics oracle (clean_text, span tuples, all metrics)."""
+    import random
+
+    rnd = random.Random(20260817)
+    frags = [
+        "plain body text here",
+        "ünïcødé ƒun 漢字テスト emoji \U0001f600 done",
+        "   \t  ",
+        "\n\n\n\n",
+        "<|ref|>image<|/ref|><|det|>[[100,200,300,400]]<|/det|>",
+        "<|ref|>title<|/ref|><|det|>[[1,2,3,4]]<|/det|># Heading",
+        "<|ref|>text<|/ref|><|det|>[[5,6,7,8],[9,10,11,12]]<|/det|>para",
+        "<|ref|>image<|/ref|><|det|>not a list at all<|/det|>",
+        "<|ref|>image<|/ref|><|det|>[[1,2],[3]]<|/det|>",
+        "<|ref|>dangling ref without det",
+        "stray <|/det|> closer",
+        "<|ref|><|/ref|><|det|>[[0,0,0,0]]<|/det|>",
+        "a<td>cell</td>b",
+        r"formula \coloneqq stuff \eqqcolon end",
+        "<center>centered</center>",
+        "x " * 40,
+        "",
+    ]
+    docs = []
+    for i in range(150):
+        pages = []
+        for _ in range(rnd.randrange(1, 5)):
+            parts = [frags[rnd.randrange(len(frags))] for _ in range(rnd.randrange(0, 8))]
+            page = " ".join(parts)
+            r = rnd.random()
+            if r < 0.6:
+                page += EOS_SENTINEL  # kept page
+            elif r < 0.7:
+                page = EOS_SENTINEL + page  # EOS at start
+            # else: no EOS -> SKIP_REPEAT drop
+            pages.append(page)
+        docs.append((f"fz{i:03d}", pages))
+
+    df = spark.createDataFrame(
+        [(d, i, c) for d, pages in docs for i, c in enumerate(pages)],
+        PAGES_SCHEMA,
+    )
+    got = {r["doc_id"]: r for r in extract_pdf(df).collect()}
+    assert len(got) == 150
+    for d, pages in docs:
+        exp = oracle.oracle_pdf_doc(pages)
+        g = got[d]
+        assert g["clean_text"] == exp["clean_text"], d
+        gs = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]]
+        es = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in exp["spans"]]
+        assert gs == es, d
+        for k, v in exp["metrics"].items():
+            assert g[k] == v, (d, k)
