@@ -149,3 +149,67 @@ def test_determinism(spark, fixture_docs):
     a = extract_spans(df).collect()[0]
     b = extract_spans(df).collect()[0]
     assert a == b
+
+
+def test_pipeline_b_adversarial_fuzz_batch(spark):
+    """150 seeded adversarial span documents — hostile kinds, grounding
+    tokens inside span text, null/empty/whitespace texts, duplicate and
+    negative offsets, shuffled order, repeated texts (collapse path) —
+    one extract_spans job, byte-exact vs the oracle per doc."""
+    import random
+
+    rnd = random.Random(424242)
+    kinds = ["text", "title", "image", "footer", "nav", "table", "weird"]
+    texts = [
+        None,
+        "",
+        "   ",
+        "plain body",
+        "ünïcødé 漢字 \U0001f600",
+        "<|ref|>image<|/ref|><|det|>[[1,2,3,4]]<|/det|>embedded",
+        "<|ref|>x<|/ref|><|det|>broken<|/det|>",
+        "<|ref|>unclosed",
+        "a<td>c</td>b",
+        r"\coloneqq and \eqqcolon",
+        "<center>mid</center>",
+        "dup dup dup",
+        "\n\n\n\nblank runs\n\n\n",
+    ]
+    docs = []
+    for i in range(150):
+        n = rnd.randrange(0, 12)
+        spans = []
+        for _ in range(n):
+            k = kinds[rnd.randrange(len(kinds))]
+            spans.append(
+                {
+                    "kind": k,
+                    "text": None if k == "image" else texts[rnd.randrange(len(texts))],
+                    "media_ref": None,
+                    # duplicates, negatives, gaps — order then shuffled
+                    "offset": rnd.randrange(-2, 8),
+                }
+            )
+        rnd.shuffle(spans)
+        # repeated-text runs to exercise the collapse path
+        if n and rnd.random() < 0.3:
+            spans = spans + [dict(spans[0], offset=spans[0]["offset"] + 1)] * 2
+        docs.append((f"adv{i:03d}", spans))
+
+    df = spark.createDataFrame(
+        [
+            (d, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
+            for d, spans in docs
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {r["doc_id"]: r for r in extract_spans(df).collect()}
+    assert len(got) == 150
+    for d, spans in docs:
+        exp = oracle.oracle_spans_doc(spans)
+        g = got[d]
+        gs = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]]
+        es = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in exp["spans"]]
+        assert gs == es, d
+        for k, v in exp["metrics"].items():
+            assert g[k] == v, (d, k)
