@@ -924,8 +924,9 @@ def f1_ngram_ban(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_F1 = rf"""
-WITH aug AS (
+# shared by SQL_F1 and SQL_F1B — a one-sided edit to the ngram identity
+# would silently desynchronize the two oracles (the _CUT_SQL pattern)
+_F1_CTES = rf"""aug AS (
   SELECT doc_id, text
     || CASE WHEN doc_id % 7 = 0 THEN ' {_F1_SPIN.strip()}' ELSE '' END
     || CASE WHEN doc_id % 11 = 0 THEN ' {_F1_TD.strip()}' ELSE '' END
@@ -943,7 +944,10 @@ ng AS (
   FROM toks a
   JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
   JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
-)
+)"""
+
+SQL_F1 = rf"""
+WITH {_F1_CTES}
 SELECT DISTINCT CAST(j.doc_id AS BIGINT) AS doc_id,
   CAST(j.start + 1 AS BIGINT) AS pos, j.last_tok AS token
 FROM ng i JOIN ng j ON i.doc_id = j.doc_id AND i.ng = j.ng
@@ -978,25 +982,7 @@ def f1b_ngram_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_F1B = rf"""
-WITH aug AS (
-  SELECT doc_id, text
-    || CASE WHEN doc_id % 7 = 0 THEN ' {_F1_SPIN.strip()}' ELSE '' END
-    || CASE WHEN doc_id % 11 = 0 THEN ' {_F1_TD.strip()}' ELSE '' END
-    AS text
-  FROM documents
-),
-toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok,
-         generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS ord
-  FROM aug
-),
-ng AS (
-  SELECT a.doc_id, a.ord AS start,
-         a.tok || chr(31) || b.tok || chr(31) || c.tok AS ng, c.tok AS last_tok
-  FROM toks a
-  JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
-  JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
-),
+WITH {_F1_CTES},
 banned AS (
   SELECT DISTINCT j.doc_id, j.start + 1 AS pos
   FROM ng i JOIN ng j ON i.doc_id = j.doc_id AND i.ng = j.ng
@@ -1468,8 +1454,11 @@ def p2_dynamic_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_p2() -> str:
-    from .operators.tiling import IMAGE_SIZE
+    from .operators.tiling import IMAGE_SIZE, MAX_CROPS
 
+    # fan-out bound derived from the config constant — a raised
+    # MAX_CROPS must widen the oracle's range too, or the gate would
+    # silently drop the extra tiles from the expected rows
     return f"""
 WITH p1 AS ({_sql_p1()})
 SELECT doc_id, CAST(r.range AS BIGINT) AS tile_id,
@@ -1477,7 +1466,7 @@ SELECT doc_id, CAST(r.range AS BIGINT) AS tile_id,
   CAST((r.range // w_tiles) * {IMAGE_SIZE} AS BIGINT) AS ty1,
   CAST((r.range % w_tiles + 1) * {IMAGE_SIZE} AS BIGINT) AS tx2,
   CAST((r.range // w_tiles + 1) * {IMAGE_SIZE} AS BIGINT) AS ty2
-FROM p1, range(0, 7) r WHERE r.range < n_tiles
+FROM p1, range(0, {MAX_CROPS + 1}) r WHERE r.range < n_tiles
 """
 
 
@@ -2388,20 +2377,16 @@ def b1_boilerplate_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_B1 = f"""
-WITH {DOM_NODES_CTE},
-feat AS (
-  SELECT *, ROUND(CAST(n_link_chars AS DOUBLE) /
-                  GREATEST(CAST(n_chars AS DOUBLE), 1.0), 6) AS link_density,
-    CASE
+# shared by SQL_B1 and SQL_B2 — a one-sided edit to the jusText
+# heuristics would silently desynchronize the two oracles
+_B_CLS_CASE = """CASE
       WHEN tag IN ('nav','footer','aside','header','form','script') THEN 'bad'
       WHEN CAST(n_link_chars AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) > 0.3 THEN 'bad'
       WHEN n_chars < 20 THEN 'short'
       WHEN n_chars >= 80 AND CAST(n_link_chars AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) < 0.1 THEN 'good'
-      ELSE 'near' END AS cls_raw
-  FROM dom_nodes
-),
-ctx AS (
+      ELSE 'near' END AS cls_raw"""
+
+_B_CTX_CTE = """ctx AS (
   SELECT *,
     last_value(CASE WHEN cls_raw IN ('good','bad') THEN cls_raw END IGNORE NULLS)
       OVER (PARTITION BY doc_id ORDER BY node_id
@@ -2410,11 +2395,23 @@ ctx AS (
       OVER (PARTITION BY doc_id ORDER BY node_id
             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_cls
   FROM feat
-)
-SELECT doc_id, node_id, tag, link_density, cls_raw,
-  CASE WHEN cls_raw IN ('good','bad') THEN cls_raw
+)"""
+
+_B_SMOOTH_CASE = """CASE WHEN cls_raw IN ('good','bad') THEN cls_raw
        WHEN prev_cls = 'good' OR next_cls = 'good' THEN 'good'
-       ELSE 'bad' END AS cls
+       ELSE 'bad' END"""
+
+SQL_B1 = f"""
+WITH {DOM_NODES_CTE},
+feat AS (
+  SELECT *, ROUND(CAST(n_link_chars AS DOUBLE) /
+                  GREATEST(CAST(n_chars AS DOUBLE), 1.0), 6) AS link_density,
+    {_B_CLS_CASE}
+  FROM dom_nodes
+),
+{_B_CTX_CTE}
+SELECT doc_id, node_id, tag, link_density, cls_raw,
+  {_B_SMOOTH_CASE} AS cls
 FROM ctx
 """
 
@@ -2430,28 +2427,12 @@ SQL_B2 = f"""
 WITH {DOM_NODES_CTE},
 feat AS (
   SELECT *,
-    CASE
-      WHEN tag IN ('nav','footer','aside','header','form','script') THEN 'bad'
-      WHEN CAST(n_link_chars AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) > 0.3 THEN 'bad'
-      WHEN n_chars < 20 THEN 'short'
-      WHEN n_chars >= 80 AND CAST(n_link_chars AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0) < 0.1 THEN 'good'
-      ELSE 'near' END AS cls_raw
+    {_B_CLS_CASE}
   FROM dom_nodes
 ),
-ctx AS (
-  SELECT *,
-    last_value(CASE WHEN cls_raw IN ('good','bad') THEN cls_raw END IGNORE NULLS)
-      OVER (PARTITION BY doc_id ORDER BY node_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_cls,
-    first_value(CASE WHEN cls_raw IN ('good','bad') THEN cls_raw END IGNORE NULLS)
-      OVER (PARTITION BY doc_id ORDER BY node_id
-            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_cls
-  FROM feat
-),
+{_B_CTX_CTE},
 cls AS (
-  SELECT *, CASE WHEN cls_raw IN ('good','bad') THEN cls_raw
-       WHEN prev_cls = 'good' OR next_cls = 'good' THEN 'good'
-       ELSE 'bad' END AS cls
+  SELECT *, {_B_SMOOTH_CASE} AS cls
   FROM ctx
 )
 SELECT doc_id,
@@ -2686,9 +2667,15 @@ def sd1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
         ).hexdigest()[:12]
         stream_dir = f"{tempfile.gettempdir()}/sd1_src_{tag}"
-        if not os.path.exists(f"{stream_dir}/documents.parquet"):
+        dst = f"{stream_dir}/documents.parquet"
+        if not os.path.exists(dst):
             os.makedirs(stream_dir, exist_ok=True)
-            shutil.copy(src, f"{stream_dir}/documents.parquet")
+            # atomic publish: a concurrent sd1 build must never list a
+            # partially-copied file (exists() is true from byte one of a
+            # plain copy; os.replace makes the name appear fully-formed)
+            tmp = f"{dst}.tmp.{uuid.uuid4().hex[:8]}"
+            shutil.copy(src, tmp)
+            os.replace(tmp, dst)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -2700,7 +2687,11 @@ def sd1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stream_dir)
     )
     out = streaming_exact_dedup_flat(stream, text_col="text")
-    name = f"sd1_sink_{uuid.uuid4().hex[:8]}"
+    # one fixed sink per session, dropped before reuse — a uuid-per-run
+    # name would pin every drained result set in driver memory for the
+    # session lifetime (oracle gate + bench invoke this repeatedly)
+    name = "sd1_sink"
+    spark.catalog.dropTempView(name)
     ckpt = tempfile.mkdtemp(prefix="sd1_ckpt_")
     q = (
         out.writeStream.format("memory")
