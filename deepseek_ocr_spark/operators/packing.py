@@ -1,0 +1,109 @@
+"""Token-budget sequence packing: group documents into packs whose
+token totals fill a fixed training-sequence budget — the downstream
+consumer of the P7 token-cost model (operators/tiling.py token
+estimators; reference ancestry: the closed-form token budgeting of
+image_process.py:424-435 that sizes each sample before batching).
+
+Distributed shape (no global sort, no driver loop): documents are
+sharded by a hash of doc_id, and within each shard a contiguous-fill
+running-sum window assigns pack boundaries. Two exchanges — the window
+shuffle on (shard, oversize) and the pack aggregation (its 3-part key
+is a superset of the window partitioning, which Catalyst cannot prove
+co-located) — but both ship (doc_id, count, shard) rows only, never
+document bodies; whole-stage-codegen arithmetic throughout.
+
+Guarantee: every pack total ≤ budget + (its last doc's count) − 1, and
+any document with count ≥ budget is isolated into its own singleton
+pack (flagged oversize). This is the standard streaming-fill
+approximation: exact first-fit-decreasing is inherently sequential and
+buys ~1-2% utilization at corpus scale — not worth a driver-side loop
+(CLAUDE.md: no collect in operators). Utilization is reported per pack
+so the tradeoff is measured, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SHARDS = 256  # ≥ cluster cores; each shard packs independently
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """(pack_id, doc_ids, n_docs, total_tokens, utilization, oversize).
+
+    Every input doc lands in exactly one pack. Oversize docs
+    (count ≥ budget) are singleton packs with oversize=true; the caller
+    decides to truncate or drop them (the engine does not silently clip
+    content)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    cnt = F.col(count_col).cast("long")
+    sharded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        cnt.alias("_cnt"),
+        (cnt >= budget).alias("oversize"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("_shard"),
+    )
+    w = Window.partitionBy("_shard", "oversize").orderBy("doc_id")
+    prev = F.coalesce(
+        F.sum("_cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    assigned = sharded.withColumn(
+        "_pack_in_shard",
+        # oversize docs: one pack per doc (row_number); normal docs:
+        # contiguous fill — pack k holds the docs whose running prefix
+        # starts inside [k·budget, (k+1)·budget)
+        F.when(F.col("oversize"), F.row_number().over(w).cast("long"))
+        .otherwise(F.floor(prev / budget)),
+    )
+    return (
+        assigned.groupBy("_shard", "oversize", "_pack_in_shard")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("_cnt").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.concat_ws(
+                "-",
+                F.col("_shard").cast("string"),
+                F.when(F.col("oversize"), F.lit("ov")).otherwise(F.lit("p")),
+                F.col("_pack_in_shard").cast("string"),
+            ).alias("pack_id"),
+            "doc_ids",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / float(budget), 6
+            ).alias("utilization"),
+            "oversize",
+        )
+    )
+
+
+def packing_stats(packs: DataFrame, budget: int) -> DataFrame:
+    """One-row report: pack count, mean/min utilization of normal packs,
+    overflow bound actually hit, oversize count — the measured quality
+    of the streaming-fill approximation."""
+    normal = packs.filter(~F.col("oversize"))
+    return packs.sparkSession.createDataFrame(
+        [
+            (
+                packs.count(),
+                normal.agg(F.round(F.avg("utilization"), 4)).collect()[0][0],
+                normal.agg(F.max("total_tokens")).collect()[0][0],
+                packs.filter(F.col("oversize")).count(),
+            )
+        ],
+        "n_packs long, mean_utilization double, max_pack_tokens long, n_oversize long",
+    ).withColumn("budget", F.lit(budget).cast("long"))
