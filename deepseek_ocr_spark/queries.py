@@ -2729,46 +2729,359 @@ FROM documents GROUP BY md5(text)
 
 
 # ---------------------------------------------------------------------------
-# pipeline entries (non-SQL-expressible → rows-only driver check; the
-# byte-exact oracle for these is the pure-Python comparator in tests/)
+# flagship pipeline entries, DRIVER-ORACLED (VERDICT r3 #1)
+#
+# The registry inputs are deterministic derivations of the driver's
+# ``documents`` parquet table (the RAW_DOCS_CTE pattern), so the full
+# pipelines — the REAL extract_pdf / extract_spans operators, unchanged —
+# are verifiable by the DuckDB gate, not only by the in-repo Python
+# goldens (which keep covering the numpy fuzz corpus in tests/).
+#
+# Portability budget (CLAUDE.md rules 2/8):
+# - Every clean/strip/normalize step is mirrored GENERALLY (same regex /
+#   replace chain on both engines) — no assumption about the parquet text
+#   except where noted.
+# - The embedded document text is sanitized identically on both sides
+#   (newline→space, '<|'→'(|', '![]('→'!|(') so it can never form
+#   grounding blocks or media markdown of its own.
+# - The F1 repetition collapse is a Java/Python backreference regex (not
+#   RE2-expressible). In pipeline B the only spans it can fire on are:
+#   the body span (wrapped in <td>…</td> → whitelist-skipped on both
+#   engines, by the reference's own rule) and the injected spin span,
+#   whose text is k≥2 exact copies of a 4-token phrase → the collapse
+#   provably yields exactly 2 copies, which the oracle states in closed
+#   form. All other span texts have < 8 token-terminating spaces after
+#   cleaning, so the pattern (which needs ≥ 8) cannot match.
+# - Pipeline A's per-page normalize loop (run_dpsk_ocr_pdf.py:313-314)
+#   applies the \n\n\n\n→\n\n / \n\n\n→\n\n replace pair once per
+#   non-image match; with sanitized text the only injected run is exactly
+#   4 newlines, so one pass (mirrored literally) reaches the fixed point
+#   and the loop's further passes are no-ops.
 # ---------------------------------------------------------------------------
 
+_P_IMG1_PRE = "<|ref|>image<|/ref|><|det|>[["  # + doc_id%300 + _P_IMG1_POST
+_P_IMG1_POST = ",50,600,420]]<|/det|>"
+_P_IMG2 = "<|ref|>image<|/ref|><|det|>[[12,600,700,900]]<|/det|>"
+_P_MALF = "<|ref|>text<|/ref|><|det|>[[12, 34<|/det|>"
+_P_SPIN = "spin loop go now "  # 4 tokens w/ trailing spaces: collapse unit
+_P_FOOT = "| home | about | contact |"
 
-def pipeline_b_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: interleaved span-table extraction (input_hint shape) over
-    the deterministic synthetic corpus; exploded to flat rows."""
-    from . import corpus
-    from .operators.spans_pipeline import extract_spans
+# identical sanitizer, both engines (see portability budget above)
+_SAN_SQL = (
+    "replace(replace(replace({col}, chr(10), ' '), '<|', '(|'), '![](', '!|(')"
+)
 
-    docs = corpus.spark_documents(spark, seed=42, n_docs=300)
-    out = extract_spans(docs)
-    return out.select(
-        "doc_id", F.posexplode("spans").alias("pos", "span")
-    ).select(
+
+def _san(c: F.Column) -> F.Column:
+    c = F.replace(c, F.lit("\n"), F.lit(" "))
+    c = F.replace(c, F.lit("<|"), F.lit("(|"))
+    return F.replace(c, F.lit("![]("), F.lit("!|("))
+
+
+def _pipe_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages(doc_id, page_no, content) derived from documents — 3 or 4
+    raw model-output pages per doc; mirrored by SQL_PIPE_A's CTEs."""
+    df = _t(spark, sf_dir, "documents")
+    pages = df.select(
         "doc_id",
-        F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"),
-        F.col("span.media_ref").alias("media_ref"),
-        F.col("span.offset").cast("bigint").alias("offset"),
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(3)).otherwise(F.lit(2)),
+            )
+        ).alias("page_no"),
+    )
+    d, p = F.col("doc_id"), F.col("page_no")
+    s = lambda c: c.cast("string")  # noqa: E731
+    dp = d + p
+    content = F.concat(
+        F.lit("<|ref|>title<|/ref|><|det|>[["),
+        s((d * 3 + p) % 900),
+        F.lit(",10,"),
+        s(d % 500 + 110),
+        F.lit(",48]]<|/det|># H "),
+        s(d),
+        F.lit("-"),
+        s(p),
+        F.lit("\n"),
+        F.when(
+            dp % 4 == 0,
+            F.concat(F.lit(_P_IMG1_PRE), s(d % 300), F.lit(_P_IMG1_POST)),
+        ).otherwise(F.lit("")),
+        _san(F.expr("substring(text, 1 + page_no * 60, 120)")),
+        F.when(dp % 6 == 0, F.lit("\n" + _P_IMG2)).otherwise(F.lit("")),
+        F.when(dp % 13 == 0, F.lit(_P_MALF)).otherwise(F.lit("")),
+        F.when(
+            dp % 5 == 0,
+            F.lit("\nx \\coloneqq y \\eqqcolon z\n\n\n\n<center>mid</center>"),
+        ).otherwise(F.lit("")),
+        F.when((dp % 3 > 0) & (d % 31 > 0), F.lit(EOS_SENTINEL)).otherwise(
+            F.lit("")
+        ),
+    )
+    return pages.select(
+        s(d).alias("doc_id"), p.cast("int").alias("page_no"), content.alias("content")
     )
 
 
 def pipeline_a_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw-page pipeline (run_dpsk_ocr_pdf.py:286-320 semantics) over the
-    synthetic page corpus; per-doc metrics row."""
-    from . import corpus
+    """Flagship raw-page pipeline (run_dpsk_ocr_pdf.py:286-320 semantics):
+    the REAL extract_pdf operator (pandas-UDF page extraction → jdx window
+    → single-shuffle doc assembly) over the documents-derived page corpus;
+    per-doc metrics row, DuckDB-oracled by SQL_PIPE_A."""
     from .operators.extraction import extract_pdf
 
-    pages = corpus.spark_pages(spark, seed=42, n_docs=300)
-    out = extract_pdf(pages)
+    out = extract_pdf(_pipe_pages(spark, sf_dir))
     return out.select(
-        "doc_id",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("pages_in").cast("bigint").alias("pages_in"),
         F.col("pages_kept").cast("bigint").alias("pages_kept"),
         F.col("parse_failures").cast("bigint").alias("parse_failures"),
+        F.col("blocks_dropped").cast("bigint").alias("blocks_dropped"),
         F.col("media_spans").cast("bigint").alias("media_spans"),
         F.col("char_yield").cast("bigint").alias("char_yield"),
     )
+
+
+_PIPE_MD = "'![](images/' || CAST(jdx AS VARCHAR) || '_{idx}.jpg)' || chr(10)"
+
+SQL_PIPE_A = f"""
+WITH pages AS (
+  SELECT doc_id, text, r.range AS page_no
+  FROM documents CROSS JOIN range(0, 4) r
+  WHERE r.range <= CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END
+),
+built AS (
+  SELECT doc_id, page_no,
+    (doc_id + page_no) % 4 = 0 AS has_img1,
+    (doc_id + page_no) % 6 = 0 AS has_img2,
+    '{_P_IMG1_PRE}' || CAST(doc_id % 300 AS VARCHAR) || '{_P_IMG1_POST}' AS img1,
+    '<|ref|>title<|/ref|><|det|>[[' || CAST((doc_id * 3 + page_no) % 900 AS VARCHAR)
+      || ',10,' || CAST(doc_id % 500 + 110 AS VARCHAR) || ',48]]<|/det|># H '
+      || CAST(doc_id AS VARCHAR) || '-' || CAST(page_no AS VARCHAR) || chr(10)
+    || CASE WHEN (doc_id + page_no) % 4 = 0 THEN
+         '{_P_IMG1_PRE}' || CAST(doc_id % 300 AS VARCHAR) || '{_P_IMG1_POST}'
+       ELSE '' END
+    || {_SAN_SQL.format(col="substr(text, 1 + page_no * 60, 120)")}
+    || CASE WHEN (doc_id + page_no) % 6 = 0 THEN chr(10) || '{_P_IMG2}' ELSE '' END
+    || CASE WHEN (doc_id + page_no) % 13 = 0 THEN '{_P_MALF}' ELSE '' END
+    || CASE WHEN (doc_id + page_no) % 5 = 0 THEN chr(10) || 'x \\coloneqq y \\eqqcolon z'
+         || repeat(chr(10), 4) || '<center>mid</center>' ELSE '' END
+    || CASE WHEN (doc_id + page_no) % 3 > 0 AND doc_id % 31 > 0
+         THEN '{EOS_SENTINEL}' ELSE '' END AS content
+  FROM pages
+),
+flags AS (
+  SELECT doc_id, page_no, has_img1, has_img2, img1,
+    CASE WHEN contains(content, '{EOS_SENTINEL}') THEN 1 ELSE 0 END AS kept,
+    replace(content, '{EOS_SENTINEL}', '') AS c0
+  FROM built
+),
+jdxed AS (
+  SELECT *, SUM(kept) OVER (
+    PARTITION BY doc_id ORDER BY page_no ROWS UNBOUNDED PRECEDING) - 1 AS jdx
+  FROM flags
+),
+r1 AS (
+  SELECT doc_id, page_no, kept, has_img1, has_img2, jdx,
+    CAST(len(list_filter(regexp_extract_all(c0, '{REF_PAT}', 2),
+         x -> NOT regexp_matches(x, '{DET_OK_PAT}'))) AS BIGINT) AS pf,
+    CAST(len(regexp_extract_all(c0, '{REF_PAT}')) AS BIGINT)
+      - (CASE WHEN has_img1 THEN 1 ELSE 0 END)
+      - (CASE WHEN has_img2 THEN 1 ELSE 0 END) AS n_other,
+    (CASE WHEN has_img1 THEN 1 ELSE 0 END)
+      + (CASE WHEN has_img2 THEN 1 ELSE 0 END) AS n_img,
+    CASE WHEN has_img1
+      THEN replace(c0, img1, {_PIPE_MD.format(idx="0")})
+      ELSE c0 END AS c1
+  FROM jdxed
+),
+r2 AS (
+  SELECT doc_id, page_no, kept, pf, n_other, n_img,
+    CASE WHEN has_img2
+      THEN replace(c1, '{_P_IMG2}', '![](images/' || CAST(jdx AS VARCHAR) || '_'
+             || (CASE WHEN has_img1 THEN '1' ELSE '0' END) || '.jpg)' || chr(10))
+      ELSE c1 END AS c2
+  FROM r1
+),
+cleaned AS (
+  SELECT doc_id, page_no, kept, pf, n_other, n_img,
+    replace(replace(
+      replace(replace(regexp_replace(c2, '{REF_PAT}', '', 'g'),
+        '\\coloneqq', ':='), '\\eqqcolon', '=:'),
+      repeat(chr(10), 4), repeat(chr(10), 2)),
+      repeat(chr(10), 3), repeat(chr(10), 2)) AS clean
+  FROM r2
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS pages_in,
+  CAST(SUM(kept) AS BIGINT) AS pages_kept,
+  CAST(SUM(CASE WHEN kept = 1 THEN pf ELSE 0 END) AS BIGINT) AS parse_failures,
+  CAST(SUM(CASE WHEN kept = 1 THEN n_other ELSE 0 END) AS BIGINT) AS blocks_dropped,
+  CAST(SUM(CASE WHEN kept = 1 THEN n_img ELSE 0 END) AS BIGINT) AS media_spans,
+  CAST(length(COALESCE(string_agg(
+    CASE WHEN kept = 1 THEN clean || chr(10) || chr(10) || '<--- Page Split --->' || chr(10) END,
+    '' ORDER BY page_no), '')) AS BIGINT) AS char_yield
+FROM cleaned GROUP BY doc_id
+"""
+
+
+def _pipe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, spans) in the input_hint shape, derived from the
+    driver's documents table; mirrored by SQL_PIPE_B's slots CTE."""
+    df = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    def sp(kind: str, text: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
+
+    title = F.concat(
+        F.lit("<|ref|>title<|/ref|><|det|>[["),
+        s(d % 900),
+        F.lit(",10,"),
+        s(d % 500 + 110),
+        F.lit(",48]]<|/det|># Heading "),
+        s(d),
+    )
+    img1 = F.concat(F.lit(_P_IMG1_PRE), s(d % 300), F.lit(_P_IMG1_POST))
+    body = F.concat(F.lit("<td>"), _san(F.col("text")), F.lit("</td>"))
+    spin = F.concat(
+        F.lit("begin "),
+        F.expr(f"repeat('{_P_SPIN}', cast(2 + doc_id % 3 as int))"),
+        F.lit("end"),
+    )
+    entries = F.array(
+        sp("title", title),
+        F.when(d % 4 == 0, sp("image", img1)),
+        sp("table", body),
+        F.when(d % 6 == 0, sp("image", F.lit(_P_IMG2))),
+        F.when(
+            d % 5 == 0,
+            sp("text", F.lit("x \\coloneqq y \\eqqcolon z\n\n\n\n<center>mid</center>")),
+        ),
+        F.when(d % 7 == 0, sp("text", spin)),
+        F.when(d % 9 == 0, sp("footer", F.lit(_P_FOOT))),
+        F.when(d % 13 == 0, sp("text", F.lit(_P_MALF + " det tail"))),
+        F.when(d % 11 == 0, sp("text", F.lit(" \n\t "))),
+        F.when(
+            d % 17 == 0,
+            sp("text", F.lit("<|ref|>footnote<|/ref|><|det|>[[5,5,9,9]]<|/det|>")),
+        ),
+    )
+    spans = F.transform(
+        F.filter(entries, lambda x: x.isNotNull()),
+        lambda x, i: F.struct(
+            x["kind"].alias("kind"),
+            x["text"].alias("text"),
+            x["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return df.select(s(d).alias("doc_id"), spans.alias("spans"))
+
+
+def pipeline_b_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship interleaved span-table extraction (input_hint shape): the
+    REAL extract_spans operator (zero-shuffle, zero-Python array program)
+    over the documents-derived span corpus; exploded to flat rows,
+    DuckDB-oracled by SQL_PIPE_B."""
+    from .operators.spans_pipeline import extract_spans
+
+    out = extract_spans(_pipe_documents(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        # '' sentinel for non-media spans: the driver compare sorts rows
+        # column-wise and a sort tie reaching a NULL column crashes tuple
+        # ordering (the s7 hazard class — tools/scan_null_ties.py)
+        F.coalesce(F.col("span.media_ref"), F.lit("")).alias("media_ref"),
+        F.col("span.offset").cast("bigint").alias("offset"),
+    )
+
+
+# general clean chain (mirrors _clean_text_expr, spans_pipeline.py:49-57)
+_CLEAN_SQL = (
+    "regexp_replace(replace(replace(replace(replace("
+    "regexp_replace({col}, '" + REF_PAT + "', '', 'g'), "
+    "'\\coloneqq', ':='), '\\eqqcolon', '=:'), '<center>', ''), '</center>', ''), "
+    "'\\n{{3,}}', chr(10) || chr(10), 'g')"
+)
+
+SQL_PIPE_B = f"""
+WITH base AS (
+  SELECT doc_id, {_SAN_SQL.format(col="text")} AS body FROM documents
+),
+slots AS (
+  SELECT doc_id, 0 AS slot, 'title' AS kind,
+    '<|ref|>title<|/ref|><|det|>[[' || CAST(doc_id % 900 AS VARCHAR) || ',10,'
+      || CAST(doc_id % 500 + 110 AS VARCHAR) || ',48]]<|/det|># Heading '
+      || CAST(doc_id AS VARCHAR) AS txt
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1, 'image',
+    '{_P_IMG1_PRE}' || CAST(doc_id % 300 AS VARCHAR) || '{_P_IMG1_POST}'
+  FROM base WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 2, 'table', '<td>' || body || '</td>' FROM base
+  UNION ALL
+  SELECT doc_id, 3, 'image', '{_P_IMG2}' FROM base WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id, 4, 'text', 'x \\coloneqq y \\eqqcolon z' || repeat(chr(10), 4)
+    || '<center>mid</center>' FROM base WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 5, 'text',
+    'begin ' || repeat('{_P_SPIN}', CAST(2 + doc_id % 3 AS INT)) || 'end'
+  FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 6, 'footer', '{_P_FOOT}' FROM base WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, 7, 'text', '{_P_MALF} det tail' FROM base WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, 8, 'text', ' ' || chr(10) || chr(9) || ' '
+  FROM base WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id, 9, 'text', '<|ref|>footnote<|/ref|><|det|>[[5,5,9,9]]<|/det|>'
+  FROM base WHERE doc_id % 17 = 0
+),
+media_seq AS (
+  SELECT doc_id, slot,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY slot) - 1 AS midx
+  FROM slots WHERE kind = 'image'
+),
+rewritten AS (
+  SELECT s.doc_id, s.slot,
+    CASE WHEN s.kind = 'image' THEN 'media' ELSE s.kind END AS kind,
+    CASE
+      WHEN s.kind = 'image'
+        THEN '![](images/' || CAST(m.midx AS VARCHAR) || '.jpg)' || chr(10)
+      -- spin slot: k>=2 exact copies of the 4-token phrase -> the
+      -- backreference collapse provably yields exactly 2 copies
+      WHEN s.slot = 5 THEN 'begin {_P_SPIN}{_P_SPIN}end'
+      ELSE {_CLEAN_SQL.format(col="s.txt")}
+    END AS text,
+    CASE WHEN s.kind = 'image'
+      THEN 'images/' || CAST(m.midx AS VARCHAR) || '.jpg' END AS media_ref
+  FROM slots s
+  LEFT JOIN media_seq m ON m.doc_id = s.doc_id AND m.slot = s.slot
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, kind, text,
+  COALESCE(media_ref, '') AS media_ref,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY slot) - 1 AS BIGINT)
+    AS "offset"
+FROM rewritten
+WHERE kind = 'media'
+   OR (kind NOT IN ('footer', 'nav') AND regexp_matches(text, '\\S'))
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2786,8 +3099,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # exactly 50 entries: x5 was folded into x5b, its strict superset, and
 # remains function+SQL+test covered as the documented degenerate case).
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    "pipeline_b_extract_spans": (pipeline_b_extract_spans, None),
-    "pipeline_a_extract_pdf": (pipeline_a_extract_pdf, None),
+    "pipeline_b_extract_spans": (pipeline_b_extract_spans, SQL_PIPE_B),
+    "pipeline_a_extract_pdf": (pipeline_a_extract_pdf, SQL_PIPE_A),
     "q_agg_pricing_summary": (q_agg_pricing_summary, SQL_PRICING),
     "q_join_top_customers": (q_join_top_customers, SQL_TOP_CUSTOMERS),
     "q_join_part_type_revenue": (q_join_part_type_revenue, SQL_PART_TYPE_REVENUE),

@@ -44,12 +44,16 @@ def _norm(v):
 
 def _rows_to_set(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    # sort key stringifies with a None marker: mixed None/str/int tuples
-    # are not orderable in Python (first hit: s7 at sf0.1, where color
-    # collisions tie two rows all the way to the nullable crop_path)
+    # sort key must be collision-free across types: mixed None/str/int
+    # tuples are not orderable in Python (first hit: s7 at sf0.1), and a
+    # plain str(v) key ties int 1 with str '1' (or a literal '\x00' with
+    # the old None marker), making tie order engine-input-order dependent
+    # and the list equality falsely FAIL on a matching multiset.
     return sorted(
         (tuple(_norm(r[i]) for i in order) for r in rows),
-        key=lambda t: tuple("\x00" if v is None else str(v) for v in t),
+        key=lambda t: tuple(
+            (v is None, type(v).__name__, str(v)) for v in t
+        ),
     )
 
 
