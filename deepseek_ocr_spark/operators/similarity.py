@@ -491,38 +491,37 @@ def lsh_scan_stats(
 IVF_FIT_SAMPLE = 100_000  # bounded k-means fit size (rows)
 
 
-def _cell_distances(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of squared L2 distances to each centroid (inlined literal).
-    Each distance is a sequential left-to-right double fold — identical
-    arithmetic to the DuckDB oracle's list_sum (CLAUDE.md rule 2)."""
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    _dlit(c),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
-    )
+def _nearest_cells(vec_col: str, centroids: list[list[float]], n: int) -> Column:
+    """Indices of the n nearest centroids, squared-L2 asc with cell-index
+    tiebreak (lexicographic struct sort ≡ ORDER BY d, cell).
 
-
-def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
-    """Indices of the n nearest centroids, distance asc with cell-index
-    tiebreak (lexicographic struct sort ≡ ORDER BY d, cell)."""
-    d = _cell_distances(vec, centroids)
-    ranked = F.array_sort(
-        F.zip_with(
-            d,
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda dist, i: F.struct(dist.alias("d"), i.alias("cell")),
+    ONE F.expr parse (the s2 single-parse lesson, CLAUDE.md r3 notes):
+    the r3 Column form built 16 separate aggregate(zip_with(vec, _dlit))
+    trees over py4j — ~0.5 s of pure driver-side plan construction per
+    assignment side, rebuilt on every run, which is what regressed the
+    s3 bench 1.56→3.48 s (VERDICT r3 #2; execution itself is ~0.15 s at
+    sf0.1). The centroid matrix is a single 2-D literal and the per-cell
+    distance a runtime transform — same sequential left-to-right double
+    fold, byte-identical to the DuckDB oracle's list arithmetic
+    (CLAUDE.md rule 2); parity pinned by
+    tests/test_dedup_similarity.py::test_nearest_cells_single_parse_parity."""
+    mat = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_drepr(x) for x in c) + ")" for c in centroids
         )
+        + ")"
     )
-    return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+    dists = (
+        f"transform({mat}, c -> aggregate(zip_with({vec_col}, c, "
+        "(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
+        "cast(0.0 as double), (acc, x) -> acc + x))"
+    )
+    ranked = (
+        f"array_sort(zip_with({dists}, sequence(0, {len(centroids) - 1}), "
+        "(d, i) -> struct(d as d, i as cell)))"
+    )
+    return F.expr(f"transform(slice({ranked}, 1, {n}), s -> s.cell)")
 
 
 def _probe_and_rank(v: DataFrame, q: DataFrame, k: int) -> DataFrame:
@@ -582,12 +581,12 @@ def ivf_topk_seeded(
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+        _nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+        F.explode(_nearest_cells(vec_col, centroids, n_probe)).alias("cell"),
     )
     return _probe_and_rank(v, q, k)
 
@@ -638,11 +637,11 @@ def ivf_scan_stats(
     )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+        _nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+        F.explode(_nearest_cells(vec_col, centroids, n_probe)).alias("cell"),
     )
     cand = (
         v.join(F.broadcast(q), on="cell")
@@ -699,7 +698,7 @@ def ivf_index(
     return vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+        _nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
     )
 
 
@@ -734,7 +733,7 @@ def ivf_probe(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.explode(
-            _nearest_cells(F.col(vec_col), centroids, n_probe)
+            _nearest_cells(vec_col, centroids, n_probe)
         ).alias("cell"),
     )
     if prune:

@@ -530,3 +530,55 @@ def test_ivf_topk_recall(spark, clustered_vecs):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall {recall}"
+
+
+def test_nearest_cells_single_parse_parity(spark, seeded_vecs):
+    """_nearest_cells is ONE F.expr parse (the r3 Column form spent
+    ~0.5s/side of driver-only py4j plan construction — the s3 bench
+    regression, VERDICT r3 #2). Pin byte-equality against the Column
+    form it replaced: same fold order, same distance values, same
+    (d, cell) tiebreak."""
+    from deepseek_ocr_spark.operators.similarity import (
+        _collect_seed_centroids,
+        _dlit,
+        _nearest_cells,
+    )
+
+    cents = _collect_seed_centroids(
+        seeded_vecs, 4, 100, "vec_id", "embedding"
+    )
+
+    def column_form(vec, centroids, n):
+        d = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        _dlit(c),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+                for c in centroids
+            ]
+        )
+        ranked = F.array_sort(
+            F.zip_with(
+                d,
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda dist, i: F.struct(dist.alias("d"), i.alias("cell")),
+            )
+        )
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+    got = seeded_vecs.select(
+        "vec_id", _nearest_cells("embedding", cents, 2).alias("cells")
+    ).collect()
+    ref = seeded_vecs.select(
+        "vec_id", column_form(F.col("embedding"), cents, 2).alias("cells")
+    ).collect()
+    assert sorted((r["vec_id"], tuple(r["cells"])) for r in got) == sorted(
+        (r["vec_id"], tuple(r["cells"])) for r in ref
+    )
