@@ -291,6 +291,24 @@ def main() -> None:
     result["embdup_planted_recall"] = round(
         len(vplanted & _pairs("d5_embedding_dup")) / len(vplanted), 4
     )
+    # recall alone would hide an all-pairs regression: report the d5
+    # candidate fraction (distinct OR'd-bucket pairs / within-label
+    # pairs) alongside it (VERDICT r3 #3)
+    from deepseek_ocr_spark.operators.similarity import (
+        embedding_dup_scan_stats,
+    )
+    from deepseek_ocr_spark.queries import (
+        _D5_PLANES,
+        _D5_TABLES,
+        _vecs_with_planted_dups,
+    )
+
+    result["embdup_scan_fraction"] = embedding_dup_scan_stats(
+        _vecs_with_planted_dups(spark, SF_DIR),
+        n_planes=_D5_PLANES,
+        dim=64,
+        n_tables=_D5_TABLES,
+    ).collect()[0]["scan_fraction"]
 
     # degenerate-page F1 at the reference's (20,50) params (VERDICT r2
     # #6): 5% of docs are a 3-token cycle repeated 800x — each carries

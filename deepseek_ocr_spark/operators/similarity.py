@@ -89,15 +89,35 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+MAX_EXACT_ROWS = 100_000
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query (query_id, neighbor_id, sim, rank).
-    Ties broken by neighbor id; sim rounded to 6 dp for determinism."""
+    Ties broken by neighbor id; sim rounded to 6 dp for determinism.
+
+    COMPARATOR ONLY: this is the all-pairs recall baseline for
+    lsh_topk/ivf_topk — O(|queries|·|vectors|) cosine evaluations. To
+    keep it from being mistaken for the production path at scale
+    (VERDICT r3 #6), it refuses corpora above MAX_EXACT_ROWS unless
+    allow_full_scan=True (the probe is a bounded limit+count, not a full
+    scan of its own)."""
+    if not allow_full_scan:
+        n = vectors.limit(MAX_EXACT_ROWS + 1).count()
+        if n > MAX_EXACT_ROWS:
+            raise ValueError(
+                f"cosine_topk is the exact all-pairs COMPARATOR; corpus "
+                f"exceeds MAX_EXACT_ROWS={MAX_EXACT_ROWS}. Use lsh_topk / "
+                "ivf_topk_seeded at scale, or pass allow_full_scan=True "
+                "if you really mean it."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -776,6 +796,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 0,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -784,28 +805,102 @@ def embedding_dup_pairs(
     low-cardinality blocks. n_planes>0: additionally block on the
     hyperplane-LSH bucket, so block size is ~|block|/2^n_planes and
     n_planes grows logarithmically with the corpus — the scale path
-    (VERDICT r1 fix #4). Near-dup pairs above a high threshold almost
-    always share the full sign pattern; recall vs the exact baseline is
-    measured in tests."""
-    cols = [
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-    ]
-    if n_planes:
-        cols.append(hyperplane_bucket(vec_col, n_planes, dim).alias("bkt"))
-    v = vectors.select(*cols)
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col("a.blk") == F.col("b.blk")
-    if n_planes:
-        cond = cond & (F.col("a.bkt") == F.col("b.bkt"))
-    return (
-        a.join(b, cond)
-        .filter(F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").cast("bigint").alias("vec_a"),
-            F.col("b.vid").cast("bigint").alias("vec_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+    (VERDICT r1 fix #4).
+
+    n_tables>1: the s2 multi-table lesson applied to dedup (VERDICT r3
+    #3) — L independent bucket tables over DISJOINT plane blocks
+    [t·n_planes, (t+1)·n_planes), a pair survives if it collides in ANY
+    table (union + distinct of skinny (vec_a, vec_b, cos_sim) rows; the
+    cosine is computed per table so the exchange never carries vectors).
+    Measured at sf0.1: planted recall 0.8225 (1×8) → 0.9975 (4×8).
+    Per-table join cost is unchanged; total candidate work is ≤ L× the
+    single-table scan, still ~|block|²/2^n_planes per block."""
+    if n_tables * n_planes > MAX_PLANES:
+        raise ValueError(
+            f"n_tables*n_planes = {n_tables * n_planes} exceeds "
+            f"MAX_PLANES={MAX_PLANES} disjoint hyperplanes"
         )
-        .filter(F.col("cos_sim") >= threshold)
+
+    def one_table(t: int) -> DataFrame:
+        cols = [
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+        ]
+        if n_planes:
+            cols.append(
+                hyperplane_bucket(
+                    vec_col, n_planes, dim, base=t * n_planes
+                ).alias("bkt")
+            )
+        v = vectors.select(*cols)
+        a, b = v.alias("a"), v.alias("b")
+        cond = F.col("a.blk") == F.col("b.blk")
+        if n_planes:
+            cond = cond & (F.col("a.bkt") == F.col("b.bkt"))
+        return (
+            a.join(b, cond)
+            .filter(F.col("a.vid") < F.col("b.vid"))
+            .select(
+                F.col("a.vid").cast("bigint").alias("vec_a"),
+                F.col("b.vid").cast("bigint").alias("vec_b"),
+                F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias(
+                    "cos_sim"
+                ),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+
+    out = one_table(0)
+    if n_planes and n_tables > 1:
+        for t in range(1, n_tables):
+            out = out.union(one_table(t))
+        # same pair from several tables carries the identical rounded
+        # cos_sim, so the distinct collapses exactly to one row per pair
+        out = out.distinct()
+    return out
+
+
+def embedding_dup_scan_stats(
+    vectors: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+    n_tables: int = 1,
+) -> DataFrame:
+    """(n_candidates, n_exhaustive, scan_fraction) for the d5 bucketing:
+    distinct candidate pairs across the OR'd tables vs all within-block
+    pairs — the denominator the n_planes=0 baseline would score."""
+    tabs = []
+    for t in range(n_tables):
+        v = vectors.select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("vid"),
+            hyperplane_bucket(vec_col, n_planes, dim, base=t * n_planes).alias(
+                "bkt"
+            ),
+        )
+        a, b = v.alias("a"), v.alias("b")
+        tabs.append(
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.bkt") == F.col("b.bkt")),
+            )
+            .filter(F.col("a.vid") < F.col("b.vid"))
+            .select(F.col("a.vid").alias("va"), F.col("b.vid").alias("vb"))
+        )
+    cand = tabs[0]
+    for t in tabs[1:]:
+        cand = cand.union(t)
+    n_cand = cand.distinct().count()
+    blk = vectors.groupBy(block_col).count()
+    total = blk.select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long").alias("t")
+    ).collect()[0]["t"]
+    return vectors.sparkSession.createDataFrame(
+        [(n_cand, total, round(n_cand / max(total, 1), 4))],
+        "n_candidates long, n_exhaustive long, scan_fraction double",
     )

@@ -402,6 +402,16 @@ def test_embedding_dup_bucketed_recall(spark, clustered_vecs):
     # subset holds above, so recall is just the size ratio
     recall = len(bucketed) / len(exact)
     assert recall >= 0.5, f"bucketed dup recall {recall}"
+    # multi-table OR (VERDICT r3 #3): still no false positives, recall
+    # monotone in tables, and each pair emitted exactly once
+    multi_rows = embedding_dup_pairs(
+        clustered_vecs, threshold=0.99, n_planes=4, n_tables=4
+    ).collect()
+    multi = {(r["vec_a"], r["vec_b"]) for r in multi_rows}
+    assert len(multi_rows) == len(multi), "union+distinct must dedupe pairs"
+    assert multi <= exact
+    assert bucketed <= multi
+    assert len(multi) / len(exact) >= recall
 
 
 def test_ivf_persisted_index_probe_prunes_partitions(
@@ -581,4 +591,26 @@ def test_nearest_cells_single_parse_parity(spark, seeded_vecs):
     ).collect()
     assert sorted((r["vec_id"], tuple(r["cells"])) for r in got) == sorted(
         (r["vec_id"], tuple(r["cells"])) for r in ref
+    )
+
+
+def test_cosine_topk_guards_full_scan(spark):
+    """The exact comparator refuses corpora above MAX_EXACT_ROWS unless
+    explicitly allowed (VERDICT r3 #6) — the all-pairs path must not be
+    mistakable for the production ANN path at scale."""
+    import pytest as _pytest
+
+    from deepseek_ocr_spark.operators import similarity as S
+
+    big = spark.range(S.MAX_EXACT_ROWS + 10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    q = big.limit(1)
+    with _pytest.raises(ValueError, match="MAX_EXACT_ROWS"):
+        S.cosine_topk(big, q, k=1)
+    # the escape hatch still works (don't collect the full result —
+    # building the plan + one row is enough)
+    assert (
+        S.cosine_topk(big.limit(10), q, k=1, allow_full_scan=True).count() > 0
     )
