@@ -48,7 +48,7 @@ HEADLINE = [
     "pipeline_a_extract_pdf",
     "q_agg_pricing_summary",
     "q_join_part_type_revenue",
-    "q_window_running_sum",
+    "q_window_running_lag",
     "q_salted_event_agg",
     "d1_exact_dedup",
     "d3_minhash_lsh",
@@ -64,6 +64,7 @@ HEADLINE = [
     "e1_embedding_norm",
     "p4_pad_token_layout",
     "s7_annotation_plan",
+    "p7b_sequence_packing",
 ]
 
 
@@ -270,6 +271,37 @@ def main() -> None:
         n_probe=_S3_PROBE,
         seed_base=_S3_BASE,
     ).collect()[0]["scan_fraction"]
+    # build-once-probe-many path (VERDICT r3 #4): probe a PERSISTED
+    # cell-partitioned index — the vector-store shape whose cost scales
+    # with the query batch, not the corpus. Index build is cached like
+    # the corpora; the timed part is the probe alone.
+    from deepseek_ocr_spark.operators.similarity import (
+        _collect_seed_centroids,
+        ivf_index,
+        ivf_probe,
+    )
+
+    idx_p = _corpus_path("ivf_index", int(SF * 1000))
+    cents = _collect_seed_centroids(emb, _S3_CELLS, _S3_BASE, "vec_id", "embedding")
+    if not _corpus_ready(idx_p):
+        ivf_index(emb, cents).write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(idx_p)
+    stored_idx = spark.read.parquet(idx_p)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _run(
+            ivf_probe(
+                stored_idx,
+                cents,
+                emb.filter(F.col("vec_id") < 20),
+                k=5,
+                n_probe=_S3_PROBE,
+            )
+        )
+        best = min(best, time.time() - t0)
+    result["ivf_probe_stored_sec"] = round(best, 3)
     d3_found = _pairs("d3_minhash_lsh")
     planted = {
         (r["doc_id"], r["doc_id"] + 1_000_000)

@@ -130,7 +130,8 @@ def run_dedup_job(
     meta_path = f"{store_dir}/meta"
     meta = _read_or_none(meta_path)
     if meta is not None:
-        stored_mode = meta.collect()[0]["hash_mode"]
+        mrow = meta.collect()[0]
+        stored_mode = mrow["hash_mode"]
         if stored_mode != hash_mode:
             raise ValueError(
                 f"store at {store_dir} was built with hash_mode="
@@ -138,9 +139,32 @@ def run_dedup_job(
                 "band signatures would never match and every stored dup "
                 "would be missed"
             )
+        # the threshold is a store property too: mixing slices decided
+        # under different thresholds silently blends accept/reject
+        # policies (ADVICE r3). Pre-threshold-guard stores (no column)
+        # are grandfathered by writing the current value forward.
+        stored_thr = (
+            mrow["jaccard_threshold"]
+            if "jaccard_threshold" in meta.columns
+            else None
+        )
+        if stored_thr is not None and stored_thr != jaccard_threshold:
+            raise ValueError(
+                f"store at {store_dir} was built with jaccard_threshold="
+                f"{stored_thr!r}; this run passed {jaccard_threshold!r} — "
+                "re-running slices under a different threshold would mix "
+                "accept/reject decisions. Use a fresh store_dir (or pass "
+                "the store's threshold)."
+            )
+        if stored_thr is None:
+            spark.createDataFrame(
+                [(hash_mode, float(jaccard_threshold))],
+                "hash_mode string, jaccard_threshold double",
+            ).write.mode("overwrite").parquet(meta_path)
     else:
         spark.createDataFrame(
-            [(hash_mode,)], "hash_mode string"
+            [(hash_mode, float(jaccard_threshold))],
+            "hash_mode string, jaccard_threshold double",
         ).write.mode("overwrite").parquet(meta_path)
 
     store_sigs = _read_or_none(sig_path)

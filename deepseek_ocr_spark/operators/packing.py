@@ -35,6 +35,7 @@ def pack_sequences(
     count_col: str = "n_tokens",
     id_col: str = "doc_id",
     n_shards: int = DEFAULT_SHARDS,
+    shard_mode: str = "fast",
 ) -> DataFrame:
     """(pack_id, doc_ids, n_docs, total_tokens, utilization, oversize).
 
@@ -44,14 +45,38 @@ def pack_sequences(
     content)."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    cnt = F.col(count_col).cast("long")
+    raw = F.col(count_col).cast("long")
+    # a NULL count would make `oversize` NULL, landing the row in a
+    # separate NULL-oversize window partition that is emitted as a
+    # normal-looking pack with NULL totals — corrupt silently (ADVICE
+    # r3). Fail loudly, same policy as the budget guard.
+    cnt = F.when(raw.isNotNull(), raw).otherwise(
+        F.raise_error(
+            F.lit(
+                f"pack_sequences: NULL {count_col} — filter or impute "
+                "token counts before packing"
+            )
+        ).cast("long")
+    )
+    # fast: xxhash64 (JVM-only). portable: the 28-bit md5-prefix hash of
+    # CLAUDE.md rule 12, reproducible in DuckDB — the registry/oracle
+    # shard (queries.SQL_P7B mirrors it literally).
+    if shard_mode == "fast":
+        shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    elif shard_mode == "portable":
+        shard = F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10).cast(
+                "long"
+            ),
+            F.lit(n_shards),
+        )
+    else:
+        raise ValueError(f"shard_mode must be 'fast' or 'portable', got {shard_mode!r}")
     sharded = docs.select(
         F.col(id_col).alias("doc_id"),
         cnt.alias("_cnt"),
         (cnt >= budget).alias("oversize"),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
-        .cast("int")
-        .alias("_shard"),
+        shard.cast("int").alias("_shard"),
     )
     w = Window.partitionBy("_shard", "oversize").orderBy("doc_id")
     prev = F.coalesce(

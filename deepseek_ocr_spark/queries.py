@@ -240,37 +240,20 @@ GROUP BY o_orderpriority
 """
 
 
-def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative window aggregation per user over event time (decimal-exact
-    so both engines agree bitwise)."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        F.col("event_id").cast("bigint").alias("event_id"),
-        F.col("user_id").cast("bigint").alias("user_id"),
-        F.sum(_dec("value", 18, 6)).over(w).cast("double").alias("running_value"),
-        F.row_number().over(w).cast("bigint").alias("seq"),
-    )
-
-
-SQL_RUNNING_SUM = """
-SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
-       (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running_value,
-  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
-FROM events
-"""
-
-
-def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead window functions: per-user inter-event gap (seconds) and
-    next event type — the session-analysis primitive."""
+def q_window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function checklist row, one query per grain (rule-16 cap):
+    cumulative sum (decimal-exact), row_number, lag-based inter-event
+    gap, and lead — all over the same per-user event-time window (merged
+    q_window_running_sum + q_window_lag_delta, r4; both shapes stay
+    driver-checked)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     return ev.select(
         F.col("event_id").cast("bigint").alias("event_id"),
         F.col("user_id").cast("bigint").alias("user_id"),
+        F.sum(_dec("value", 18, 6)).over(w).cast("double").alias("running_value"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
         F.floor(
             (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(prev_ts.cast("timestamp"))) / F.lit(1_000_000.0)
         )
@@ -280,8 +263,10 @@ def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_LAG_DELTA = """
+SQL_RUNNING_LAG = """
 SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_value,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
   CAST(FLOOR((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0) AS BIGINT) AS gap_sec,
   lead(event_type) OVER w AS next_type
 FROM events
@@ -687,6 +672,14 @@ FROM raw_docs
 # 186-190) is exercised where it diverges from the per-match counter.
 _S7_MULTIBOX = "<|ref|>image<|/ref|><|det|>[[1,2,3,4],[5, 6, 7, 8]]<|/det|>"
 _S7_BOX_PAT = r"\[\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\]"
+# s7 oracle fan-out caps, DERIVED from the injections above (ADVICE r3):
+# refs/page ≤ title(1) + img×2 (%4, %6) + malformed(%13) + multibox(%7)
+# = 5; boxes/det ≤ 2 (the multibox). The Spark operator is uncapped —
+# these bound only the oracle's range() unnests, and s7's registry query
+# raise_error's if the corpus ever exceeds them so a violation fails
+# loudly instead of as a silent oracle row drop.
+_S7_MAX_REFS = 8
+_S7_MAX_BOXES = 4
 
 
 def s7_annotation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +699,30 @@ def s7_annotation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("")
             ),
         ).alias("content"),
+    )
+    # oracle fan-out caps must hold or the gate fails obscurely (see
+    # _S7_MAX_REFS derivation): fail loudly at the source instead
+    n_refs = F.size(F.regexp_extract_all("content", F.lit(REF_PAT), 1))
+    max_boxes = F.array_max(
+        F.transform(
+            F.regexp_extract_all("content", F.lit(REF_PAT), 2),
+            lambda d: F.size(F.regexp_extract_all(d, F.lit(_S7_BOX_PAT), 0)),
+        )
+    )
+    ok = (n_refs <= _S7_MAX_REFS) & (
+        F.coalesce(max_boxes, F.lit(0)) <= _S7_MAX_BOXES
+    )
+    pages = pages.withColumn(
+        "content",
+        F.when(ok, F.col("content")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"s7 corpus page exceeds _S7_MAX_REFS={_S7_MAX_REFS} "
+                    f"refs or _S7_MAX_BOXES={_S7_MAX_BOXES} boxes/det — "
+                    "raise the oracle caps with it"
+                )
+            )
+        ),
     )
     plan = annotation_plan(pages, image_w=1280, image_h=1810)
     return plan.select(
@@ -755,13 +772,13 @@ refs AS (
   SELECT doc_id, CAST(r.range AS INTEGER) AS ref_idx,
     regexp_extract_all(c, '{REF_PAT}', 1)[CAST(r.range AS INTEGER) + 1] AS label,
     regexp_extract_all(c, '{REF_PAT}', 2)[CAST(r.range AS INTEGER) + 1] AS det
-  FROM pages, range(0, 8) r
+  FROM pages, range(0, {_S7_MAX_REFS}) r
   WHERE r.range < len(regexp_extract_all(c, '{REF_PAT}', 1))
 ),
 boxes AS (
   SELECT doc_id, ref_idx, label, CAST(bx.range AS INTEGER) AS box_idx,
     regexp_extract_all(det, '{b}')[CAST(bx.range AS INTEGER) + 1] AS box
-  FROM refs, range(0, 4) bx
+  FROM refs, range(0, {_S7_MAX_BOXES}) bx
   WHERE bx.range < len(regexp_extract_all(det, '{b}'))
 ),
 px AS (
@@ -2742,6 +2759,78 @@ FROM documents GROUP BY md5(text)
 
 
 # ---------------------------------------------------------------------------
+# P7b: token-budget sequence packing (operators/packing.py) — the P7
+# cost model's training consumer, registry-listed per VERDICT r3 #4
+# ---------------------------------------------------------------------------
+
+_P7B_BUDGET, _P7B_SHARDS = 4096, 8
+
+
+def p7b_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing over the documents table: count = n_chars
+    (every 37th doc ×20 to exercise the oversize-isolation path),
+    portable md5 shard (rule 12) so the whole shard → running-sum fill →
+    pack composition is DuckDB-oracled. doc_ids emitted as a sorted
+    CSV string: cross-engine array compare is representation-fragile."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 37 == 0, F.col("n_chars") * 20)
+        .otherwise(F.col("n_chars"))
+        .alias("n_tokens"),
+    )
+    packs = pack_sequences(
+        docs,
+        budget=_P7B_BUDGET,
+        n_shards=_P7B_SHARDS,
+        shard_mode="portable",
+    )
+    return packs.select(
+        "pack_id",
+        F.array_join(
+            F.transform("doc_ids", lambda d: d.cast("string")), ","
+        ).alias("doc_ids"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        "utilization",
+        "oversize",
+    )
+
+
+SQL_P7B = f"""
+WITH counted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 37 = 0 THEN n_chars * 20 ELSE n_chars END AS cnt,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+      % {_P7B_SHARDS} AS shard
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, cnt, shard, cnt >= {_P7B_BUDGET} AS oversize FROM counted
+),
+assigned AS (
+  SELECT doc_id, cnt, shard, oversize,
+    CASE WHEN oversize THEN CAST(ROW_NUMBER() OVER w AS BIGINT)
+         ELSE CAST(FLOOR(COALESCE(SUM(cnt) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {_P7B_BUDGET}) AS BIGINT) END AS pack
+  FROM flagged
+  WINDOW w AS (PARTITION BY shard, oversize ORDER BY doc_id)
+)
+SELECT CAST(shard AS VARCHAR) || '-'
+    || CASE WHEN oversize THEN 'ov' ELSE 'p' END || '-'
+    || CAST(pack AS VARCHAR) AS pack_id,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(cnt) AS DOUBLE) / {_P7B_BUDGET}.0, 6) AS utilization,
+  oversize
+FROM assigned GROUP BY shard, oversize, pack
+"""
+
+
+# ---------------------------------------------------------------------------
 # flagship pipeline entries, DRIVER-ORACLED (VERDICT r3 #1)
 #
 # The registry inputs are deterministic derivations of the driver's
@@ -3118,8 +3207,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_join_top_customers": (q_join_top_customers, SQL_TOP_CUSTOMERS),
     "q_join_part_type_revenue": (q_join_part_type_revenue, SQL_PART_TYPE_REVENUE),
     "q_semijoin_order_priority": (q_semijoin_order_priority, SQL_ORDER_PRIORITY),
-    "q_window_running_sum": (q_window_running_sum, SQL_RUNNING_SUM),
-    "q_window_lag_delta": (q_window_lag_delta, SQL_LAG_DELTA),
+    "q_window_running_lag": (q_window_running_lag, SQL_RUNNING_LAG),
     "q_topk_events": (q_topk_events, SQL_TOPK_EVENTS),
     "q_distinct_daily_users": (q_distinct_daily_users, SQL_DAILY_USERS),
     "q_setops_priority_customers": (q_setops_priority_customers, SQL_SETOPS),
@@ -3146,6 +3234,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "p2_dynamic_tiling": (p2_dynamic_tiling, _sql_p2()),
     "p4_pad_token_layout": (p4_pad_token_layout, _sql_p4()),
     "p5_normalize": (p5_normalize, SQL_P5),
+    "p7b_sequence_packing": (p7b_sequence_packing, SQL_P7B),
     "s7_annotation_plan": (s7_annotation_plan, _sql_s7()),
     "s8_geometry_plot": (s8_geometry_plot, SQL_S8),
     "d2_ngram_jaccard": (d2_ngram_jaccard, SQL_D2),

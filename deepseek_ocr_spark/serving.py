@@ -35,6 +35,10 @@ from .operators.extraction import extract_pdf
 _MAX_BODY = 16 * 1024 * 1024  # one document per request, not a corpus
 
 
+class AllPagesDropped(ValueError):
+    """Every page of the request failed the SKIP_REPEAT EOS gate."""
+
+
 def process_document(
     spark: SparkSession, doc_id: str, pages: list[str]
 ) -> dict:
@@ -45,8 +49,18 @@ def process_document(
         [(doc_id, i, content) for i, content in enumerate(pages)],
         "doc_id string, page_no int, content string",
     )
-    row = extract_pdf(df).collect()[0]
-    out = row.asDict()
+    rows = extract_pdf(df).collect()
+    if not rows:
+        # NOTE (ADVICE r3 follow-up): extract_pdf aggregates over ALL
+        # pages, so an all-dropped request still yields one row with
+        # pages_kept=0 and empty spans — the honest response, pinned by
+        # tests/test_serving.py::test_process_all_pages_dropped. This
+        # branch is a defensive guard so a future filter change surfaces
+        # as a structured 422, never an IndexError-shaped 500.
+        raise AllPagesDropped(
+            "all pages dropped by the SKIP_REPEAT gate (no EOS sentinel)"
+        )
+    out = rows[0].asDict()
     out["spans"] = [s.asDict() for s in out["spans"]]
     return out
 
@@ -136,6 +150,9 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             out = process_document(self.server.spark, doc_id, pages)
+        except AllPagesDropped as e:
+            self._reply(422, {"error": str(e)})
+            return
         except Exception as e:  # Spark failure must not kill the reply
             self._reply(500, {"error": str(e)[:500]})
             return

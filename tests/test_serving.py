@@ -137,3 +137,44 @@ def test_locate_requires_table_then_serves_hits(spark, tmp_path):
         assert all("offset" in h and "doc_id" in h for h in hits)
     finally:
         srv.stop()
+
+
+def test_process_all_pages_dropped_returns_honest_metrics(server):
+    """A request whose pages all lack the EOS sentinel: extract_pdf
+    aggregates over ALL pages, so the response is a 200 with
+    pages_kept=0 and empty spans — not an error, and (the ADVICE r3
+    hazard) never an IndexError-shaped 500. The defensive 422 branch
+    (serving.AllPagesDropped) exists for a future filter change."""
+    got = _post(
+        server.port,
+        "/process",
+        {"doc_id": "gateless", "pages": ["no sentinel", "none here"]},
+    )
+    assert got["pages_in"] == 2
+    assert got["pages_kept"] == 0
+    assert got["spans"] == [] and got["char_yield"] == 0
+
+
+def test_process_concurrent_requests(server):
+    """S9 concurrency claim (VERDICT r3 #7): ThreadingHTTPServer fires
+    each request's Spark jobs from its own thread against the shared
+    SparkSession — Spark schedules concurrently-submitted jobs from
+    separate threads (FIFO across jobs, tasks interleave; a FAIR pool
+    is a config knob, not a code change). Four parallel /process
+    requests must all succeed and each match the reference oracle."""
+    import concurrent.futures
+
+    docs = [corpus.gen_doc(SEED, i) for i in (3, 5, 8, 13)]
+
+    def one(d):
+        doc_id, _, pages = d
+        contents = [c for _, c in pages]
+        got = _post(
+            server.port, "/process", {"doc_id": doc_id, "pages": contents}
+        )
+        exp = oracle.oracle_pdf_doc(contents)
+        return got["doc_id"] == doc_id and got["clean_text"] == exp["clean_text"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(one, docs))
+    assert all(results), results
