@@ -80,6 +80,29 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _reply_stream(self, out: dict) -> None:
+        """Incremental-delivery framing for /process/stream: one NDJSON
+        line per span, flushed as written, then a final metrics line
+        with ``done: true`` — the span-granularity analogue of the
+        reference's token-delta streaming (run_dpsk_ocr_image.py:147-199
+        TextStreamer; mlx_port/inference/generation_mlx.py:251-308
+        yields text deltas, then a final stats record). Spans are the
+        atomic unit at this abstraction, so deltas are spans, not
+        tokens; corpus-scale incremental processing is
+        streaming/stream_extract.py — this endpoint is the interactive
+        front. No Content-Length: HTTP/1.0 close-delimited, so clients
+        can consume lines as they arrive."""
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.end_headers()
+        for span in out["spans"]:
+            self.wfile.write(json.dumps(span).encode() + b"\n")
+            self.wfile.flush()
+        final = {k: v for k, v in out.items() if k != "spans"}
+        final["done"] = True
+        self.wfile.write(json.dumps(final).encode() + b"\n")
+        self.wfile.flush()
+
     def do_GET(self) -> None:  # noqa: N802 (http.server contract)
         url = urlparse(self.path)
         if url.path == "/healthz":
@@ -119,7 +142,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802
         url = urlparse(self.path)
-        if url.path != "/process":
+        if url.path not in ("/process", "/process/stream"):
             self._reply(404, {"error": f"no route {url.path}"})
             return
         try:
@@ -156,7 +179,10 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # Spark failure must not kill the reply
             self._reply(500, {"error": str(e)[:500]})
             return
-        self._reply(200, out)
+        if url.path == "/process/stream":
+            self._reply_stream(out)
+        else:
+            self._reply(200, out)
 
 
 class ExtractServer(ThreadingHTTPServer):
