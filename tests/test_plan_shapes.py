@@ -129,3 +129,20 @@ def test_minhash_band_branch_ships_fixed_width_rows(spark):
     band_ex = [ln for ln in exchanges if "band" in ln]
     assert band_ex, exchanges
     assert all("sh#" not in ln for ln in band_ex), band_ex
+
+
+def test_p7b_packing_single_exchange_pruned_scan(spark):
+    """P7b: the pack fill is ONE Exchange on (_shard, oversize); the
+    pack-id groupBy keys are a superset of that partitioning so the
+    aggregation reuses it (no second shuffle), and the documents scan
+    reads only (doc_id, n_chars)."""
+    plan = _plan(Q.p7b_sequence_packing(spark, SF_DIR))
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "_shard" in exchanges[0] and "oversize" in exchanges[0], exchanges
+    assert "Python" not in plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "doc_id" in scan[0] and "n_chars" in scan[0], scan
+    assert "text" not in scan[0], scan
