@@ -281,7 +281,12 @@ def main() -> None:
         ivf_probe,
     )
 
-    idx_p = _corpus_path("ivf_index", int(SF * 1000))
+    # cache key includes the centroid parameters: a tuned _S3_CELLS/_S3_BASE
+    # must rebuild the index, or the probe would join NEW-centroid query
+    # cells against OLD-centroid partitions (silent wrong candidates)
+    idx_p = _corpus_path(
+        f"ivf_index_c{_S3_CELLS}_b{_S3_BASE}", int(SF * 1000)
+    )
     cents = _collect_seed_centroids(emb, _S3_CELLS, _S3_BASE, "vec_id", "embedding")
     if not _corpus_ready(idx_p):
         ivf_index(emb, cents).write.partitionBy("cell").mode(

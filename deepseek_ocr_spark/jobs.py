@@ -12,6 +12,8 @@ lineage. Entry points are also exposed as a CLI:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -157,6 +159,18 @@ def run_dedup_job(
                 "the store's threshold)."
             )
         if stored_thr is None:
+            # the store's ACTUAL historical threshold is unknowable here:
+            # this write records the current run's value as an assumption,
+            # not provenance — say so, loudly, once
+            warnings.warn(
+                f"store at {store_dir} predates the jaccard_threshold "
+                f"guard; recording this run's value ({jaccard_threshold}) "
+                "as the store threshold. If earlier slices were decided "
+                "under a different threshold, their accept/reject "
+                "decisions are already mixed in — use a fresh store_dir "
+                "if exact policy provenance matters.",
+                stacklevel=2,
+            )
             spark.createDataFrame(
                 [(hash_mode, float(jaccard_threshold))],
                 "hash_mode string, jaccard_threshold double",

@@ -6,11 +6,13 @@ image_process.py:424-435 that sizes each sample before batching).
 
 Distributed shape (no global sort, no driver loop): documents are
 sharded by a hash of doc_id, and within each shard a contiguous-fill
-running-sum window assigns pack boundaries. Two exchanges — the window
-shuffle on (shard, oversize) and the pack aggregation (its 3-part key
-is a superset of the window partitioning, which Catalyst cannot prove
-co-located) — but both ship (doc_id, count, shard) rows only, never
-document bodies; whole-stage-codegen arithmetic throughout.
+running-sum window assigns pack boundaries. ONE exchange — the window
+shuffle on (shard, oversize); the pack aggregation's 3-part key is a
+superset of the window partitioning, so Catalyst reuses the existing
+hash partitioning instead of re-shuffling (pinned by
+tests/test_plan_shapes.py::test_p7b_packing_single_exchange_pruned_scan).
+The shuffle ships (doc_id, count, shard) rows only, never document
+bodies; whole-stage-codegen arithmetic throughout.
 
 Guarantee: every pack total ≤ budget + (its last doc's count) − 1, and
 any document with count ≥ budget is isolated into its own singleton

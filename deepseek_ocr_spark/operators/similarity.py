@@ -108,7 +108,9 @@ def cosine_topk(
     keep it from being mistaken for the production path at scale
     (VERDICT r3 #6), it refuses corpora above MAX_EXACT_ROWS unless
     allow_full_scan=True (the probe is a bounded limit+count, not a full
-    scan of its own)."""
+    scan of its own). NOTE: the guard is EAGER — constructing the
+    DataFrame without allow_full_scan runs a bounded Spark job; pass
+    allow_full_scan=True in plan-only contexts (registry, dump_plans)."""
     if not allow_full_scan:
         n = vectors.limit(MAX_EXACT_ROWS + 1).count()
         if n > MAX_EXACT_ROWS:
@@ -788,6 +790,26 @@ def ivf_topk(
     )
 
 
+def _validate_tables(n_planes: int, n_tables: int) -> None:
+    """Shared multi-table LSH parameter guard: reject combinations that
+    would silently degenerate (a caller asking for n_tables>1 with no
+    hyperplane blocking gets ONE full block join, not OR'd recall)."""
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    if n_tables > 1 and n_planes < 1:
+        raise ValueError(
+            "n_tables > 1 requires n_planes >= 1: without hyperplane "
+            "blocking every table is the same full block join, so the "
+            "multi-table OR adds nothing — pass n_tables=1 for the "
+            "unbucketed baseline"
+        )
+    if n_tables * n_planes > MAX_PLANES:
+        raise ValueError(
+            f"n_tables*n_planes = {n_tables * n_planes} exceeds "
+            f"MAX_PLANES={MAX_PLANES} disjoint hyperplanes"
+        )
+
+
 def embedding_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -815,11 +837,7 @@ def embedding_dup_pairs(
     Measured at sf0.1: planted recall 0.8225 (1×8) → 0.9975 (4×8).
     Per-table join cost is unchanged; total candidate work is ≤ L× the
     single-table scan, still ~|block|²/2^n_planes per block."""
-    if n_tables * n_planes > MAX_PLANES:
-        raise ValueError(
-            f"n_tables*n_planes = {n_tables * n_planes} exceeds "
-            f"MAX_PLANES={MAX_PLANES} disjoint hyperplanes"
-        )
+    _validate_tables(n_planes, n_tables)
 
     def one_table(t: int) -> DataFrame:
         cols = [
@@ -873,6 +891,7 @@ def embedding_dup_scan_stats(
     """(n_candidates, n_exhaustive, scan_fraction) for the d5 bucketing:
     distinct candidate pairs across the OR'd tables vs all within-block
     pairs — the denominator the n_planes=0 baseline would score."""
+    _validate_tables(n_planes, n_tables)
     tabs = []
     for t in range(n_tables):
         v = vectors.select(
@@ -897,9 +916,14 @@ def embedding_dup_scan_stats(
         cand = cand.union(t)
     n_cand = cand.distinct().count()
     blk = vectors.groupBy(block_col).count()
-    total = blk.select(
-        F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long").alias("t")
-    ).collect()[0]["t"]
+    total = (
+        blk.select(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2)
+            .cast("long")
+            .alias("t")
+        ).collect()[0]["t"]
+        or 0  # SUM over an empty corpus collects as None
+    )
     return vectors.sparkSession.createDataFrame(
         [(n_cand, total, round(n_cand / max(total, 1), 4))],
         "n_candidates long, n_exhaustive long, scan_fraction double",

@@ -414,6 +414,37 @@ def test_embedding_dup_bucketed_recall(spark, clustered_vecs):
     assert len(multi) / len(exact) >= recall
 
 
+def test_embedding_dup_table_param_guards(spark, clustered_vecs):
+    """Degenerate multi-table combinations raise instead of silently
+    collapsing to a single full block join (review r4): n_tables<1, and
+    n_tables>1 with n_planes=0 (no hyperplane blocking to OR over)."""
+    from deepseek_ocr_spark.operators.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_scan_stats,
+    )
+
+    with pytest.raises(ValueError, match="n_tables must be >= 1"):
+        embedding_dup_pairs(clustered_vecs, n_planes=4, n_tables=0)
+    with pytest.raises(ValueError, match="requires n_planes >= 1"):
+        embedding_dup_pairs(clustered_vecs, n_planes=0, n_tables=4)
+    with pytest.raises(ValueError, match="n_tables must be >= 1"):
+        embedding_dup_scan_stats(clustered_vecs, n_planes=4, n_tables=0)
+
+
+def test_embedding_dup_scan_stats_empty_input(spark, clustered_vecs):
+    """An empty corpus yields a clean zero-candidates row, not a
+    TypeError from SUM collecting as None (review r4)."""
+    from deepseek_ocr_spark.operators.similarity import (
+        embedding_dup_scan_stats,
+    )
+
+    row = embedding_dup_scan_stats(
+        clustered_vecs.filter("vec_id < 0"), n_planes=4
+    ).collect()[0]
+    assert (row["n_candidates"], row["n_exhaustive"]) == (0, 0)
+    assert row["scan_fraction"] == 0.0
+
+
 def test_ivf_persisted_index_probe_prunes_partitions(
     spark, clustered_vecs, tmp_path
 ):

@@ -53,7 +53,9 @@ def main() -> None:
     def pairs(df):
         return {(r[0], r[1]) for r in df.collect()}
 
-    exact = pairs(cosine_topk(emb, q, k=5))
+    # the recall baseline is the one legitimate full-scan consumer; without
+    # the flag this tool would crash at exactly the scale it exists to serve
+    exact = pairs(cosine_topk(emb, q, k=5, allow_full_scan=True))
 
     print(f"### s2 LSH: n_tables sweep (n_planes={_S2_PLANES}, "
           f"n_probe={_S2_PROBE}, sf_dir={SF_DIR})\n")
