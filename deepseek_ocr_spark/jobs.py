@@ -36,7 +36,7 @@ def run_spans_job(
     PDF pipeline operating on the span table shape."""
     docs = spark.read.parquet(input_path)
     if partitions:
-        docs = repartition_by_cost(docs, doc_cost("spans"), partitions).drop("_tier")
+        docs = repartition_by_cost(docs, doc_cost("spans"), partitions)
     if resume:
         return run_extract_resumable(spark, docs, output_dir)
     out = extract_spans(docs)

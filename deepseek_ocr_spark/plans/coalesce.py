@@ -35,8 +35,13 @@ def repartition_by_cost(
     df: DataFrame, cost: Column, partitions: int | None = None
 ) -> DataFrame:
     """Range-partition by (cost_tier, doc_id): same-tier docs co-locate,
-    range bounds keep partitions balanced by row count within a tier."""
+    range bounds keep partitions balanced by row count within a tier.
+    The internal _tier helper column is dropped before returning (a
+    projection after the exchange — the partitioning survives), so the
+    caller's schema is unchanged."""
     tiered = df.withColumn("_tier", cost_tier(cost))
     if partitions:
-        return tiered.repartitionByRange(partitions, "_tier", "doc_id")
-    return tiered.repartitionByRange("_tier", "doc_id")
+        out = tiered.repartitionByRange(partitions, "_tier", "doc_id")
+    else:
+        out = tiered.repartitionByRange("_tier", "doc_id")
+    return out.drop("_tier")

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,7 +57,12 @@ def committed_slices(spark: SparkSession, out_dir: str) -> set[int]:
             r["slice_id"]
             for r in spark.read.parquet(path).select("slice_id").distinct().collect()
         }
-    except Exception:
+    except AnalysisException:
+        # an existing-but-empty lineage dir (crash between mkdir and the
+        # first commit) cannot infer a schema — that IS a fresh run.
+        # Anything else (corrupt footer, IO error) must PROPAGATE: at
+        # 10^12 docs, treating read failure as "no commits" would
+        # silently rescan the whole input and mask real corruption.
         return set()
 
 
@@ -124,16 +130,18 @@ def run_extract_resumable(
             F.sum("media_spans").cast("bigint").alias("media_spans"),
             F.sum("char_yield").cast("bigint").alias("char_yield"),
         )
-        metrics.write.mode("overwrite").partitionBy("slice_id").parquet(
-            f"{out_dir}/metrics"
-        )
+        # evaluate the aggregation ONCE (bounded: ≤ |group| rows), then
+        # write the metrics table from the collected rows — .write then
+        # .collect() on the lazy plan would scan+aggregate the written
+        # spans twice per group
+        metrics_rows = metrics.collect()
+        spark.createDataFrame(metrics_rows, metrics.schema).write.mode(
+            "overwrite"
+        ).partitionBy("slice_id").parquet(f"{out_dir}/metrics")
         # lineage rows LAST — the commit point. commit_seq is a
         # driver-side monotonic counter continuing from prior runs
         # (bounded collect: ≤ n_slices rows).
-        n_by_slice = {
-            r["slice_id"]: r["n_docs"]
-            for r in metrics.select("slice_id", "n_docs").collect()
-        }
+        n_by_slice = {r["slice_id"]: r["n_docs"] for r in metrics_rows}
         lineage_rows = [
             (int(sid), int(n_by_slice.get(sid, 0)), seq_base + i)
             for i, sid in enumerate(group)

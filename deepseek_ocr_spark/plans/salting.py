@@ -35,6 +35,7 @@ def salted_sum_count(
     agg → merge. `sums` maps output name → column expression to sum.
     Adds a `n` count column. Semantics identical to the plain groupBy
     (verified against the unsalted oracle in the query registry)."""
+    _require_salt_outside_keys(keys, salt_cols)
     salted = with_salt(df, salt_cols, buckets)
     partial = salted.groupBy(*keys, "_salt").agg(
         F.count("*").alias("_n"),
@@ -46,12 +47,42 @@ def salted_sum_count(
     )
 
 
+def _require_salt_outside_keys(key_cols: list[str], salt_cols: list[str]) -> None:
+    """A salt computed purely from the (hot) key is CONSTANT per key
+    value — every row of the hot key still hashes to one reducer and the
+    salt spreads nothing. The salt must draw entropy from outside the
+    key columns; reject the silent no-op."""
+    if not salt_cols:
+        raise ValueError("salting needs at least one salt column")
+    if set(salt_cols) <= set(key_cols):
+        raise ValueError(
+            f"salt_cols {salt_cols} is a subset of key_cols {key_cols}: "
+            "the salt would be a pure function of the key, so a hot key "
+            "still lands in a single task. Salt from a high-cardinality "
+            "column outside the key (e.g. the row id)."
+        )
+
+
 def repartition_salted(
-    df: DataFrame, key_cols: list[str], partitions: int, buckets: int = DEFAULT_SALT
+    df: DataFrame,
+    key_cols: list[str],
+    partitions: int,
+    buckets: int = DEFAULT_SALT,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Repartition on (keys, salt) so a hot key spreads over `buckets`
     tasks — used before per-key-heavy map work, not before joins (a
-    salted join side must replicate the other side per salt)."""
-    return with_salt(df, key_cols, buckets).repartition(
-        partitions, *key_cols, "_salt"
+    salted join side must replicate the other side per salt).
+
+    salt_cols default: every column OUTSIDE key_cols, so distinct rows
+    of a hot key scatter over the buckets (deterministic under task
+    retry — rule in with_salt). Passing key columns as the salt source
+    raises: that salt is constant per key and spreads nothing."""
+    if salt_cols is None:
+        salt_cols = [c for c in df.columns if c not in key_cols]
+    _require_salt_outside_keys(key_cols, salt_cols)
+    return (
+        with_salt(df, salt_cols, buckets)
+        .repartition(partitions, *key_cols, "_salt")
+        .drop("_salt")  # projection only — the partitioning survives
     )

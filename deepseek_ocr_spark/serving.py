@@ -68,6 +68,11 @@ def process_document(
 class _Handler(BaseHTTPRequestHandler):
     server: "ExtractServer"
 
+    # socket timeout: a client that sends fewer body bytes than its
+    # Content-Length claims would otherwise block rfile.read() forever,
+    # permanently leaking one daemon thread per such request
+    timeout = 120
+
     # quiet: tests and notebooks should not see per-request stderr lines
     def log_message(self, fmt, *args):  # noqa: D102
         pass
@@ -147,6 +152,11 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
+            if length < 0:
+                # rfile.read(-1) would read until EOF — i.e. block until
+                # the client hangs up; never trust a negative length
+                self._reply(400, {"error": "invalid Content-Length"})
+                return
             if length > _MAX_BODY:
                 self._reply(413, {"error": "body too large"})
                 return

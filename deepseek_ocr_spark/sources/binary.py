@@ -45,15 +45,23 @@ PAGE_IMAGE_SCHEMA = StructType(
 
 
 def scan_images(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
-    """S1/S2: distributed binary scan of an image corpus directory."""
+    """S1/S2: distributed binary scan of an image corpus directory.
+
+    doc_id = filename stem (the reference names its outputs by image
+    filename), falling back to the full basename for extension-less
+    files — without the fallback regexp_extract returns '' and a whole
+    extension-less corpus would collapse onto one key. Equal filenames
+    under DIFFERENT directories still share a doc_id by design (the
+    reference contract); `path` is the unique key — disambiguate on it
+    before any dedup/join keyed on doc_id over a recursive glob."""
+    stem = F.regexp_extract(F.col("path"), r"([^/]+)\.[A-Za-z0-9]+$", 1)
+    basename = F.regexp_extract(F.col("path"), r"([^/]+)$", 1)
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
         .select(
-            F.regexp_extract(
-                F.col("path"), r"([^/]+)\.[A-Za-z0-9]+$", 1
-            ).alias("doc_id"),
+            F.coalesce(F.nullif(stem, F.lit("")), basename).alias("doc_id"),
             F.col("path"),
             F.col("length").alias("n_bytes"),
             F.col("content"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -126,6 +127,11 @@ def decode_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame
             stats = pdf["data"].map(
                 _decode_real if use_real_codec else _decode_fake
             )
+            # width/height are NULLABLE in MEDIA_TABLE_SCHEMA — Arrow
+            # hands them to pandas as float64 with NaN. Nullable Int32
+            # (not int32) carries the NaN through as SQL NULL instead of
+            # raising "cannot convert non-finite values" and killing the
+            # task over one undecodable row (review r4).
             scale = pd.concat(
                 [pdf["width"], pdf["height"]], axis=1
             ).max(axis=1).clip(lower=1)
@@ -141,8 +147,8 @@ def decode_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame
                         lambda b: 0 if b is None else len(b)
                     ),
                     "mean_byte": stats.map(lambda s: s[0]),
-                    "thumb_w": (pdf["width"] * factor).astype("int32"),
-                    "thumb_h": (pdf["height"] * factor).astype("int32"),
+                    "thumb_w": np.floor(pdf["width"] * factor).astype("Int32"),
+                    "thumb_h": np.floor(pdf["height"] * factor).astype("Int32"),
                     "decode_ok": stats.map(lambda s: s[1]),
                 }
             )

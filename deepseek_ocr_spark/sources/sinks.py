@@ -9,6 +9,7 @@ matching the reference's file-per-doc layout).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame
@@ -54,6 +55,12 @@ def export_markdown_files(
     os.makedirs(out_dir, exist_ok=True)
     for r in rows:
         safe = r["doc_id"].replace("/", "_")
+        if safe != r["doc_id"]:
+            # sanitization can alias distinct ids ('a/b' vs 'a_b'); a
+            # short content hash keeps sanitized names collision-free
+            # instead of silently overwriting one doc with another
+            digest = hashlib.md5(r["doc_id"].encode()).hexdigest()[:8]
+            safe = f"{safe}-{digest}"
         with open(f"{out_dir}/{safe}.mmd", "w") as f:
             f.write(r[clean_col] or "")
     return len(rows)

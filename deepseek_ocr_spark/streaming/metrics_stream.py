@@ -23,10 +23,19 @@ from ..operators.spans_pipeline import extract_spans
 
 
 def docs_with_event_time(docs: DataFrame, ts_col: str = "ingest_ts") -> DataFrame:
-    """Input adapter: documents stream carrying an ingest timestamp."""
-    return docs.withColumn("host", F.split("doc_id", "-")[1]).withColumn(
-        "event_time", F.col(ts_col)
-    )
+    """Input adapter: documents stream carrying an ingest timestamp.
+
+    Host = second hyphen component of doc_id (the corpus convention).
+    try_element_at, not [1]: under ANSI mode (on by default, Spark 4) a
+    hyphen-free doc_id would make the array index THROW and kill the
+    streaming query; hostless docs group under their own id instead."""
+    return docs.withColumn(
+        "host",
+        F.coalesce(
+            F.try_element_at(F.split("doc_id", "-"), F.lit(2)),
+            F.col("doc_id"),
+        ),
+    ).withColumn("event_time", F.col(ts_col))
 
 
 def windowed_host_metrics(

@@ -9,6 +9,15 @@ at once; the streaming form keeps per-digest state — first arrival wins,
 later arrivals are suppressed — with a state timeout so the store stays
 bounded by the re-crawl horizon rather than corpus history.
 
+Output contract (append log): the FIRST row per digest announces the
+canonical doc_id; every later micro-batch that suppresses more copies
+of that digest appends an update row with the same canonical doc_id and
+the new CUMULATIVE n_duplicates_suppressed — the max per digest is
+authoritative. (Without the update rows the cross-batch counter would
+be write-only state no consumer could ever read — review r4.) Unique
+documents = distinct digests; a single-batch drain emits exactly one
+row per digest (the sd1 registry query's shape).
+
 Keying on the content digest (not doc_id) makes the state row width
 constant and the shuffle key fixed-width — the same discipline as the
 batch dedup operators.
@@ -41,6 +50,7 @@ STATE_SCHEMA = StructType(
     [
         StructField("emitted", LongType(), False),
         StructField("suppressed", LongType(), False),
+        StructField("canonical_doc", StringType(), False),
     ]
 )
 
@@ -49,23 +59,27 @@ def _dedup_group(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (digest,) = key
-    emitted, suppressed = state.get if state.exists else (0, 0)
+    emitted, suppressed, canon = (
+        state.get if state.exists else (0, 0, "")
+    )
     rows = pd.concat(list(pdfs), ignore_index=True)
-    first_doc = rows["doc_id"].min()
     if emitted == 0:
         # first sighting of this content: emit the canonical doc
+        canon = rows["doc_id"].min()
         suppressed += len(rows) - 1
-        state.update((1, int(suppressed)))
-        yield pd.DataFrame(
-            {
-                "digest": [digest],
-                "doc_id": [first_doc],
-                "n_duplicates_suppressed": [int(suppressed)],
-            }
-        )
     else:
         suppressed += len(rows)
-        state.update((1, int(suppressed)))
+    state.update((1, int(suppressed), canon))
+    # first row announces the canonical doc; later rows carry the
+    # updated cumulative count (same canonical id) so cross-batch
+    # suppression is observable — max per digest is authoritative
+    yield pd.DataFrame(
+        {
+            "digest": [digest],
+            "doc_id": [canon],
+            "n_duplicates_suppressed": [int(suppressed)],
+        }
+    )
     # production note: bound the state store with
     # state.setTimeoutDuration(<re-crawl horizon>) under
     # ProcessingTimeTimeout — omitted here because pending timers keep

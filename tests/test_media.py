@@ -46,6 +46,28 @@ def test_decode_features_schema_and_values(spark, media):
             )
 
 
+def test_decode_features_null_dims_survive(spark, media):
+    """MEDIA_TABLE_SCHEMA permits NULL width/height (real-world metadata
+    can be undecodable); the pandas batch must emit NULL thumb dims for
+    those rows, not kill the task with a non-finite astype (review r4)."""
+    nulled = media.withColumn(
+        "width",
+        F.when(F.col("media_ref") == "images/0_0.jpg", None).otherwise(
+            F.col("width")
+        ),
+    )
+    rows = decode_features(nulled).collect()
+    assert len(rows) == 40
+    for r in rows:
+        if r["width"] is None:
+            # unknown width -> NULL thumb_w; thumb_h still scales off the
+            # known height (pandas max skips NaN)
+            assert r["thumb_w"] is None and r["thumb_h"] is not None
+        else:
+            assert r["thumb_w"] is not None
+        assert r["decode_ok"] == "ok"  # decode is independent of dims
+
+
 def test_frame_sample_plan_video_only(spark, media):
     plan = frame_sample_plan(media, every_n_sec=2)
     rows = plan.collect()

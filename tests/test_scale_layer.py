@@ -51,17 +51,22 @@ def test_salted_agg_equals_plain(spark, docs):
 
 
 def test_cost_tier_repartition_preserves_rows(spark, docs):
+    from deepseek_ocr_spark.plans.coalesce import cost_tier
+
     out = repartition_by_cost(docs, doc_cost("spans"), partitions=8)
     assert out.count() == docs.count()
+    # the internal helper column must not leak into the caller's schema
+    assert out.columns == docs.columns
     # tiers are coarse: a handful of distinct values
-    n_tiers = out.select("_tier").distinct().count()
+    n_tiers = (
+        docs.select(cost_tier(doc_cost("spans")).alias("tier"))
+        .distinct()
+        .count()
+    )
     assert 1 <= n_tiers <= 16
     # extraction result unaffected by the repartitioning
     a = {r["doc_id"]: r["blocks_kept"] for r in extract_spans(docs).collect()}
-    b = {
-        r["doc_id"]: r["blocks_kept"]
-        for r in extract_spans(out.drop("_tier")).collect()
-    }
+    b = {r["doc_id"]: r["blocks_kept"] for r in extract_spans(out).collect()}
     assert a == b
 
 
@@ -165,13 +170,17 @@ def test_streaming_equals_batch(spark, docs):
 
 
 def test_repartition_salted_spreads_hot_key(spark, docs):
+    """The salt must spread the HOT key itself (review r4: a salt
+    derived from the key is constant per key value and spreads nothing
+    — the old test salted on unique doc_id, which dodged the bug)."""
     from deepseek_ocr_spark.plans.salting import repartition_salted
 
     hosted = docs.withColumn("host", F.split("doc_id", "-")[1])
     # plain repartition on the Zipf host key: hot host -> one partition
     plain = hosted.repartition(16, "host")
-    salted = repartition_salted(hosted, ["doc_id"], 16)
+    salted = repartition_salted(hosted, ["host"], 16, salt_cols=["doc_id"])
     assert salted.count() == hosted.count()
+    assert "_salt" not in salted.columns  # helper column must not leak
 
     def max_partition(df):
         sizes = df.rdd.glom().map(len).collect()
@@ -179,6 +188,10 @@ def test_repartition_salted_spreads_hot_key(spark, docs):
 
     # the hot host (~46% of docs) must not all land in one task
     assert max_partition(salted) < max_partition(plain)
+
+    # key-derived salt is a guaranteed no-op: reject it loudly
+    with pytest.raises(ValueError, match="pure function of the key"):
+        repartition_salted(hosted, ["host"], 16, salt_cols=["host"])
 
 
 def test_aqe_skew_join_split_fires(spark):

@@ -36,6 +36,42 @@ def test_scan_images_binary_source(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_scan_images_extensionless_fallback(spark):
+    """Extension-less files get their basename as doc_id, not '' — a
+    whole extension-less corpus must not collapse onto one key
+    (review r4)."""
+    d = tempfile.mkdtemp(prefix="imgs_")
+    try:
+        for name in ("scanA", "scanB", "withext.png"):
+            with open(f"{d}/{name}", "wb") as f:
+                f.write(b"\x01" * 8)
+        out = {r["doc_id"] for r in scan_images(spark, d).collect()}
+        assert out == {"scanA", "scanB", "withext"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_export_markdown_sanitized_ids_do_not_collide(spark):
+    """doc_ids that sanitize to the same filename ('a/b' vs 'a_b') must
+    produce distinct files, not silently overwrite (review r4)."""
+    docs = spark.createDataFrame(
+        [("a/b", "slash"), ("a_b", "underscore")],
+        "doc_id string, clean_text string",
+    )
+    out = tempfile.mkdtemp(prefix="sink_")
+    try:
+        n = export_markdown_files(docs, out)
+        files = sorted(os.listdir(out))
+        assert n == 2 and len(files) == 2
+        contents = set()
+        for name in files:
+            with open(f"{out}/{name}") as f:
+                contents.add(f.read())
+        assert contents == {"slash", "underscore"}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_rasterize_kernel_gate(spark):
     pdfs = spark.createDataFrame(
         [("d1", bytearray(b"%PDF-fake"))], "doc_id string, content binary"

@@ -38,13 +38,25 @@ def test_cross_batch_dedup(spark):
         )
         q.awaitTermination()
         out = spark.sql("SELECT * FROM dedup_out").collect()
-        # every distinct content emitted exactly once
-        assert len(out) == 40
+        # 40 distinct contents; batch 1 announces each canonical doc,
+        # batch 2 (the dup- copies) appends one cumulative-count update
+        # row per digest — cross-batch suppression is observable
+        assert len(out) == 80
         assert len({r["digest"] for r in out}) == 40
-        # emitted doc is never one of the duplicated copies when the
-        # original arrived first... (both orderings valid within batch 1;
-        # the dup- copies arrive strictly later, so none may be emitted)
+        # every row for a digest names the SAME canonical doc, and it is
+        # never one of the dup- copies (they arrive strictly later)
+        canon: dict[str, set] = {}
+        for r in out:
+            canon.setdefault(r["digest"], set()).add(r["doc_id"])
+        assert all(len(v) == 1 for v in canon.values())
         assert all(not r["doc_id"].startswith("dup-") for r in out)
+        # authoritative count = max per digest: exactly 1 suppressed copy
+        latest: dict[str, int] = {}
+        for r in out:
+            latest[r["digest"]] = max(
+                latest.get(r["digest"], 0), r["n_duplicates_suppressed"]
+            )
+        assert all(v == 1 for v in latest.values())
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
