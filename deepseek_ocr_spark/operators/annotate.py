@@ -257,9 +257,22 @@ def geometry_elements(
 
     Everything is array-local column code: no UDF, no shuffle, one
     explode of the bounded per-row element array."""
+    # normalize the Python-dict single quotes to JSON: only STRUCTURAL
+    # quotes (adjacent to { [ , : ] } delimiters) are rewritten — a
+    # blanket '→" would corrupt any payload whose strings contain an
+    # apostrophe, nulling from_json and dropping ALL elements of an
+    # otherwise valid payload (review r4). An embedded quote directly
+    # against a delimiter inside a string value can still confuse the
+    # rewrite; that is the residual cost of not eval()ing model output
+    # the way the reference does (run_dpsk_ocr_image.py:253).
+    jsonish = F.regexp_replace(
+        F.regexp_replace(F.col(col), r"([\{\[,:]\s*)'", '$1"'),
+        r"'(\s*[:,\]\}])",
+        '"$1',
+    )
     parsed = F.when(
         F.contains(F.col(col), F.lit("line_type")),
-        F.from_json(F.regexp_replace(F.col(col), "'", '"'), _GEOM_SCHEMA),
+        F.from_json(jsonish, _GEOM_SCHEMA),
     )
     d = df.withColumn("_g", parsed)
     lines = F.col("_g.Line.line")

@@ -119,18 +119,25 @@ def pack_sequences(
 
 
 def packing_stats(packs: DataFrame, budget: int) -> DataFrame:
-    """One-row report: pack count, mean/min utilization of normal packs,
-    overflow bound actually hit, oversize count — the measured quality
-    of the streaming-fill approximation."""
-    normal = packs.filter(~F.col("oversize"))
+    """One-row report: pack count, mean utilization and max token total
+    of NORMAL packs, oversize count — the measured quality of the
+    streaming-fill approximation. One aggregation pass: four separate
+    actions over the uncached lazy packs plan would re-execute the
+    whole shard/window/aggregate pipeline four times (review r4)."""
+    row = packs.agg(
+        F.count("*").cast("long").alias("n_packs"),
+        F.round(
+            F.avg(F.when(~F.col("oversize"), F.col("utilization"))), 4
+        ).alias("mean_utilization"),
+        F.max(
+            F.when(~F.col("oversize"), F.col("total_tokens"))
+        ).alias("max_pack_tokens"),
+        F.coalesce(  # SUM over zero packs is NULL, report 0
+            F.sum(F.col("oversize").cast("long")), F.lit(0).cast("long")
+        ).alias("n_oversize"),
+    ).collect()[0]
     return packs.sparkSession.createDataFrame(
-        [
-            (
-                packs.count(),
-                normal.agg(F.round(F.avg("utilization"), 4)).collect()[0][0],
-                normal.agg(F.max("total_tokens")).collect()[0][0],
-                packs.filter(F.col("oversize")).count(),
-            )
-        ],
-        "n_packs long, mean_utilization double, max_pack_tokens long, n_oversize long",
-    ).withColumn("budget", F.lit(budget).cast("long"))
+        [tuple(row) + (budget,)],
+        "n_packs long, mean_utilization double, max_pack_tokens long, "
+        "n_oversize long, budget long",
+    )

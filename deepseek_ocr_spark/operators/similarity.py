@@ -136,8 +136,8 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(
-            F.col("query_id").cast("bigint").alias("query_id"),
-            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            "query_id",
+            "neighbor_id",
             "sim",
             "rank",
         )
@@ -333,6 +333,13 @@ def lsh_index(
     ``.partitionBy("bucket")`` and ``lsh_probe`` restricts the scan to
     the probed buckets (same build-once-probe-many shape as
     ivf_index/ivf_probe)."""
+    _validate_tables(n_planes, n_tables)
+    if n_planes < 1:
+        # n_tables=0 would build an EMPTY index (a persisted store that
+        # returns zero neighbors forever); n_planes=0 a single all-rows
+        # bucket — both silent degenerations, rejected here and in
+        # _lsh_query_side so every lsh_* entry point is covered
+        raise ValueError("LSH requires n_planes >= 1")
     vb = F.array(
         *[
             (
@@ -359,6 +366,9 @@ def _lsh_query_side(
     dim: int | None,
 ) -> DataFrame:
     """(query_id, qvec, bucket) probe rows across all tables."""
+    _validate_tables(n_planes, n_tables)
+    if n_planes < 1:
+        raise ValueError("LSH requires n_planes >= 1")
 
     def _with_offset(t: int):
         off = t * 2**n_planes
@@ -426,8 +436,8 @@ def lsh_probe(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(
-            F.col("query_id").cast("bigint").alias("query_id"),
-            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            "query_id",
+            "neighbor_id",
             "sim",
             "rank",
         )
@@ -562,8 +572,8 @@ def _probe_and_rank(v: DataFrame, q: DataFrame, k: int) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(
-            F.col("query_id").cast("bigint").alias("query_id"),
-            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            "query_id",
+            "neighbor_id",
             "sim",
             "rank",
         )
@@ -860,8 +870,8 @@ def embedding_dup_pairs(
             a.join(b, cond)
             .filter(F.col("a.vid") < F.col("b.vid"))
             .select(
-                F.col("a.vid").cast("bigint").alias("vec_a"),
-                F.col("b.vid").cast("bigint").alias("vec_b"),
+                F.col("a.vid").alias("vec_a"),
+                F.col("b.vid").alias("vec_b"),
                 F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias(
                     "cos_sim"
                 ),

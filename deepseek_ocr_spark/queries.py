@@ -1975,12 +1975,19 @@ def d5_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_similarity.py."""
     from .operators.similarity import embedding_dup_pairs
 
-    return embedding_dup_pairs(
+    out = embedding_dup_pairs(
         _vecs_with_planted_dups(spark, sf_dir),
         threshold=0.99,
         n_planes=_D5_PLANES,
         dim=64,
         n_tables=_D5_TABLES,
+    )
+    # id casts live in the registry projection, not the operator
+    # (CLAUDE.md: operators must not assume numeric ids — ANSI throw)
+    return out.select(
+        F.col("vec_a").cast("bigint").alias("vec_a"),
+        F.col("vec_b").cast("bigint").alias("vec_b"),
+        "cos_sim",
     )
 
 
@@ -2054,6 +2061,18 @@ WHERE ROUND({_COS_AB}, 6) >= 0.99
 """
 
 
+def _cast_knn_ids(out: DataFrame) -> DataFrame:
+    """Registry projection for the kNN queries: cast ids to bigint HERE,
+    not in the operators (CLAUDE.md: operators must not assume numeric
+    ids — an ANSI cast on string ids throws at runtime)."""
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        "sim",
+        "rank",
+    )
+
+
 def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 20 vectors (ANN
     correctness baseline)."""
@@ -2063,8 +2082,10 @@ def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # allow_full_scan: this registry entry IS the documented comparator on
     # the bounded sf corpora; skipping the guard keeps construction job-free
     # (plan tools) and the guard count out of the bench's timed region
-    return cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, allow_full_scan=True
+    return _cast_knn_ids(
+        cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 20), k=5, allow_full_scan=True
+        )
     )
 
 
@@ -2096,7 +2117,7 @@ def s3_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk_seeded
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk_seeded(
+    out = ivf_topk_seeded(
         emb,
         emb.filter(F.col("vec_id") < 20),
         k=5,
@@ -2104,6 +2125,7 @@ def s3_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_S3_PROBE,
         seed_base=_S3_BASE,
     )
+    return _cast_knn_ids(out)
 
 
 def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2115,7 +2137,7 @@ def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(
+    out = lsh_topk(
         emb,
         emb.filter(F.col("vec_id") < 20),
         k=5,
@@ -2124,6 +2146,7 @@ def s2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=_S2_TABLES,
         dim=64,
     )
+    return _cast_knn_ids(out)
 
 
 def _sql_s2() -> str:

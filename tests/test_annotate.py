@@ -139,6 +139,27 @@ class TestGeometryElements:
         assert (r.x0, r.y0, r.x1, r.y1) == (1.0, 2.0, 3.0, 4.0)
         assert r.style == "-"
 
+    def test_apostrophe_in_string_does_not_null_payload(self, spark):
+        """Only STRUCTURAL quotes are rewritten to JSON: an apostrophe
+        inside a string value must not corrupt the parse and zero out
+        the whole payload's elements (review r4). The apostrophe-bearing
+        line itself has no parseable points (dropped), but the circle
+        and the well-formed line survive."""
+        rows = self._run(
+            spark,
+            "{'Line': {'line': ['it's a label -- nowhere', "
+            "'(1, 2) -- (3, 4)'], 'line_type': ['-', '--'], "
+            "'line_endpoint': []}, "
+            "'Circle': {'circle_center': ['O: (7, 8)'], 'radius': [2.5]}}",
+        )
+        by_kind = {}
+        for r in rows:
+            by_kind.setdefault(r.kind, []).append(r)
+        (line,) = by_kind["line"]
+        assert (line.x0, line.y0, line.x1, line.y1) == (1.0, 2.0, 3.0, 4.0)
+        (circ,) = by_kind["circle"]
+        assert (circ.label, circ.radius) == ("O", 2.5)
+
     def test_dispatch_gate_no_line_type_substring(self, spark):
         # the reference only enters the geometry branch when the raw
         # output CONTAINS 'line_type' (run_dpsk_ocr_image.py:250)

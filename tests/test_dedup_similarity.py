@@ -102,6 +102,30 @@ def test_incremental_dedup_probes_store_without_history_text(spark, mode):
     assert sigs_b.count() == 5
 
 
+def test_incremental_dedup_rerun_not_self_dup(spark):
+    """Re-running a slice whose ids already sit in the store must not
+    report every doc as a jaccard-1.0 duplicate of ITSELF (review r4):
+    the stored branch excludes dup_of == doc_id. Genuine store dups of
+    OTHER docs still surface."""
+    from deepseek_ocr_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "totally different content in this document body"),
+        ],
+        "doc_id long, text string",
+    )
+    _, sigs = incremental_minhash_dedup(docs, None)
+    # re-run the SAME slice against a store already containing its ids
+    dups, _ = incremental_minhash_dedup(docs, sigs)
+    got = {(r["doc_id"], r["dup_of"]) for r in dups.collect()}
+    assert all(a != b for a, b in got), f"self-dups reported: {got}"
+    # the cross pair (1 vs 1's own stored sig) is gone; nothing else
+    # collides between these two texts
+    assert got == set()
+
+
 def test_incremental_dedup_caps_identical_doc_flood(spark):
     """An all-identical slice must not explode the candidate join
     (M²/2 pairs): the target side of each bucket is capped at

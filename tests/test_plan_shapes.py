@@ -131,6 +131,25 @@ def test_minhash_band_branch_ships_fixed_width_rows(spark):
     assert all("sh#" not in ln for ln in band_ex), band_ex
 
 
+def test_jaccard_verify_filters_both_probe_sides_broadcast(spark):
+    """The exact-Jaccard verify must filter BOTH shingle-table probe
+    sides with a broadcast of the (rare) candidate list before any wide
+    join (review r4): the old single-broadcast form sort-merge-joined
+    the FULL b-side table — on the incremental path that is the whole
+    persisted store, making probe cost scale with the store. Pinned as:
+    at least two BroadcastHashJoins in the verify plan (pair-list probe
+    on a, candidate-key filter on b)."""
+    from deepseek_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} alpha beta gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(minhash_lsh_pairs(docs, hash_mode="portable"))
+    bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert len(bhj) >= 2, plan
+
+
 def test_p7b_packing_single_exchange_pruned_scan(spark):
     """P7b: the pack fill is ONE Exchange on (_shard, oversize); the
     pack-id groupBy keys are a superset of that partitioning so the
