@@ -31,7 +31,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query; pipeline_* entries are
-    non-SQL-expressible (validated byte-exactly vs the pure-Python
-    reference oracle in tests/) and deliberately omitted."""
+    """DuckDB-equivalent ANSI SQL per query — all 50 registry entries,
+    including the two flagship pipelines (composed from their stage
+    CTEs in round 4; they are additionally validated byte-exactly vs
+    the pure-Python reference oracle in tests/)."""
     return _Q.oracle_sql()
