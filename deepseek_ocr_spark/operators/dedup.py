@@ -383,7 +383,13 @@ def _jaccard_verify(
         "_ida"
     )
     b_keys = cand.select(F.col(b_key).alias("_idb")).distinct()
-    b_hit = b.join(F.broadcast(b_keys), "_idb")
+    # dropDuplicates: the incremental b side is store UNION slice, so a
+    # doc present in both contributes TWO identical (id, sh) rows and
+    # every pair would verify (and be emitted) twice. Runs on the
+    # candidate-filtered rows only — the full table still never
+    # shuffles. Same-id-different-content is caller error (doc_id is
+    # the content identity the store contract keys on).
+    b_hit = b.join(F.broadcast(b_keys), "_idb").dropDuplicates(["_idb"])
     joined = a_hit.join(b_hit, F.col(b_key) == F.col("_idb")).drop("_idb")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -489,7 +495,11 @@ def incremental_minhash_dedup(
             | (~F.col("_stored") & (F.col("dup_of") < F.col("doc_id_new")))
         )
         .select("doc_id_new", "dup_of", "_stored")
-        .dropDuplicates(["doc_id_new", "dup_of"])
+        # one row per pair; a pair admitted by BOTH branches (overlap
+        # re-run) keeps dup_in_store=true deterministically — the store
+        # copy is the canonical one (max(bool): true wins)
+        .groupBy("doc_id_new", "dup_of")
+        .agg(F.max("_stored").alias("_stored"))
     )
     sh_new = new_sigs.select("doc_id", "sh")
     sh_all = (
@@ -625,12 +635,19 @@ def simhash_pairs(
             F.array(*[chunk_sig(c) for c in range(SIMHASH_CHUNKS)])
         ).alias("chunk", "chunk_sig"),
     )
-    pairs = _bucket_pairs(chunks, ["chunk", "chunk_sig"])
+    # same both-sides-broadcast-filtered verify shape as _jaccard_verify
+    # (review r4): the (rare) pair list feeds two broadcasts, so it is
+    # persisted; the full fixed-width sig table never shuffles.
+    pairs = persist_swap("simhash_cand", _bucket_pairs(chunks, ["chunk", "chunk_sig"]))
+    b_keys = pairs.select(F.col("doc_b").alias("_idb")).distinct()
+    sig_b = sig.join(F.broadcast(b_keys), sig.doc_id == F.col("_idb")).select(
+        F.col("doc_id").alias("_docb"), F.col("bits").alias("bits_b")
+    )
     joined = (
         sig.join(F.broadcast(pairs), sig.doc_id == pairs.doc_a)
         .select("doc_a", "doc_b", F.col("bits").alias("bits_a"))
-        .join(sig, F.col("doc_b") == sig.doc_id)
-        .select("doc_a", "doc_b", "bits_a", F.col("bits").alias("bits_b"))
+        .join(sig_b, F.col("doc_b") == F.col("_docb"))
+        .select("doc_a", "doc_b", "bits_a", "bits_b")
     )
     hamming = F.aggregate(
         F.zip_with("bits_a", "bits_b", lambda a, b: (a != b).cast("int")),

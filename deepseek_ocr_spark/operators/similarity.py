@@ -333,13 +333,9 @@ def lsh_index(
     ``.partitionBy("bucket")`` and ``lsh_probe`` restricts the scan to
     the probed buckets (same build-once-probe-many shape as
     ivf_index/ivf_probe)."""
-    _validate_tables(n_planes, n_tables)
-    if n_planes < 1:
-        # n_tables=0 would build an EMPTY index (a persisted store that
-        # returns zero neighbors forever); n_planes=0 a single all-rows
-        # bucket — both silent degenerations, rejected here and in
-        # _lsh_query_side so every lsh_* entry point is covered
-        raise ValueError("LSH requires n_planes >= 1")
+    # guarded here and in _lsh_query_side so every lsh_* entry point is
+    # covered (index build, probe, topk, scan stats)
+    _validate_tables(n_planes, n_tables, min_planes=1)
     vb = F.array(
         *[
             (
@@ -366,9 +362,7 @@ def _lsh_query_side(
     dim: int | None,
 ) -> DataFrame:
     """(query_id, qvec, bucket) probe rows across all tables."""
-    _validate_tables(n_planes, n_tables)
-    if n_planes < 1:
-        raise ValueError("LSH requires n_planes >= 1")
+    _validate_tables(n_planes, n_tables, min_planes=1)
 
     def _with_offset(t: int):
         off = t * 2**n_planes
@@ -800,12 +794,20 @@ def ivf_topk(
     )
 
 
-def _validate_tables(n_planes: int, n_tables: int) -> None:
+def _validate_tables(
+    n_planes: int, n_tables: int, min_planes: int = 0
+) -> None:
     """Shared multi-table LSH parameter guard: reject combinations that
     would silently degenerate (a caller asking for n_tables>1 with no
-    hyperplane blocking gets ONE full block join, not OR'd recall)."""
+    hyperplane blocking gets ONE full block join, not OR'd recall).
+    min_planes=1 for the lsh_* paths — n_planes=0 there means a single
+    all-rows bucket (and n_tables=0 an EMPTY index that returns zero
+    neighbors forever); min_planes=0 for embedding_dup_*, where
+    n_planes=0 IS the documented exact within-block baseline."""
     if n_tables < 1:
         raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    if n_planes < min_planes:
+        raise ValueError(f"LSH requires n_planes >= {min_planes}")
     if n_tables > 1 and n_planes < 1:
         raise ValueError(
             "n_tables > 1 requires n_planes >= 1: without hyperplane "

@@ -74,12 +74,22 @@ def repartition_salted(
     tasks — used before per-key-heavy map work, not before joins (a
     salted join side must replicate the other side per salt).
 
-    salt_cols default: every column OUTSIDE key_cols, so distinct rows
-    of a hot key scatter over the buckets (deterministic under task
-    retry — rule in with_salt). Passing key columns as the salt source
-    raises: that salt is constant per key and spreads nothing."""
+    salt_cols default: every ATOMIC-typed column outside key_cols, so
+    distinct rows of a hot key scatter over the buckets (deterministic
+    under task retry — rule in with_salt). Atomic-only keeps the default
+    safe and cheap: xxhash64 rejects MAP columns outright, and hashing a
+    wide array/struct (a document body) per row would dwarf the
+    repartition it salts. Passing key columns as the salt source raises:
+    that salt is constant per key and spreads nothing. A keys-only (or
+    no-atomic-column) frame must pass salt_cols explicitly."""
     if salt_cols is None:
-        salt_cols = [c for c in df.columns if c not in key_cols]
+        atomic = {
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName()
+            not in ("map", "array", "struct", "variant")
+        }
+        salt_cols = [c for c in df.columns if c not in key_cols and c in atomic]
     _require_salt_outside_keys(key_cols, salt_cols)
     return (
         with_salt(df, salt_cols, buckets)

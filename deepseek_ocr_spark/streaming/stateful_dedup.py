@@ -18,6 +18,13 @@ be write-only state no consumer could ever read — review r4.) Unique
 documents = distinct digests; a single-batch drain emits exactly one
 row per digest (the sd1 registry query's shape).
 
+STATE SCHEMA MIGRATION (r4): the state row gained a third field
+(canonical_doc). A streaming query checkpointed under the old 2-field
+schema cannot restart on this code — Spark's state-store schema check
+aborts it (StateSchemaNotCompatible). Upgrade by draining the old
+query, then restarting with a FRESH checkpoint directory; the dedup
+store itself (first-emission log) carries forward.
+
 Keying on the content digest (not doc_id) makes the state row width
 constant and the shuffle key fixed-width — the same discipline as the
 batch dedup operators.

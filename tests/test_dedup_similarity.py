@@ -125,6 +125,21 @@ def test_incremental_dedup_rerun_not_self_dup(spark):
     # collides between these two texts
     assert got == set()
 
+    # overlap re-run with a genuinely new dup: the pair must be emitted
+    # EXACTLY once (the overlapping b side carries two (id, sh) rows per
+    # stored doc — unchecked, the verify join matched each pair twice),
+    # and dup_in_store must deterministically prefer the store branch
+    slice2 = docs.unionByName(
+        spark.createDataFrame(
+            [(3, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+    )
+    rows = incremental_minhash_dedup(slice2, sigs)[0].collect()
+    assert len(rows) == 1, rows
+    assert (rows[0]["doc_id"], rows[0]["dup_of"]) == (3, 1)
+    assert rows[0]["dup_in_store"] is True
+
 
 def test_incremental_dedup_caps_identical_doc_flood(spark):
     """An all-identical slice must not explode the candidate join
