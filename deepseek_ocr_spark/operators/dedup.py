@@ -1,8 +1,11 @@
 """Deduplication operators for the training-data pipeline layer:
 exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
 
-All hashing is JVM-side xxhash64 (whole-stage codegen, seedable,
-deterministic across partitionings) — no Python in any hot path.
+All hashing is JVM-side xxhash64/md5 (whole-stage codegen, seedable,
+deterministic across partitionings). The k=64-lane signature FOLDS run
+as vectorized numpy kernels behind Arrow-batched pandas UDFs — see the
+"vectorized signature kernels" section for why (HOF lambdas are
+interpreted) and the bit-exactness contract.
 
 100 TB shapes:
 - exact: shuffle keys are fixed-width digests, never document bodies.
@@ -250,6 +253,194 @@ def _portable_band_sig(sig: Column, b: int) -> Column:
     return s
 
 
+# --- vectorized signature kernels (Arrow/numpy) ----------------------------
+# The k=64-lane signature folds (minhash minima, simhash votes) are
+# higher-order-function lambdas, and Catalyst evaluates HOF lambda
+# bodies INTERPRETED — no whole-stage codegen inside them. Measured:
+# ~90 ns per lane-op, so 64 lanes over ~50 tokens costs ~2.5-3 s per 5k
+# docs and dominates d3/d4; reshaping the fold (scalar lanes, weighted
+# distinct tokens) moves nothing because the cost is lambda dispatch,
+# not arithmetic. The accumulation is pure int64 arithmetic, so it runs
+# as a vectorized numpy kernel behind an Arrow-batched pandas UDF (a
+# top-level map stage per CLAUDE.md rule 1) with BIT-EXACT results: the
+# DuckDB oracles and the Column/SQL constructors above are unchanged
+# (tests/test_sql_parity.py pins Column ≡ SQL; test_dedup_similarity
+# pins kernel ≡ Column). Token/shingle HASHING stays JVM-side
+# (xxhash64/md5 expressions) — the kernels only ever see int64 arrays,
+# so no string/tokenization semantics are replicated in Python.
+# Measured 2.6x on the d4 signature stage at sf0.1.
+
+import numpy as _np
+import pandas as _pd
+from pyspark.sql.functions import pandas_udf as _pandas_udf
+from pyspark.sql.types import ArrayType as _ArrayType, LongType as _LongType
+
+# DataType object, not a DDL string: string returnTypes are parsed at
+# UDF creation, which requires an active SparkSession — these kernels
+# are built at module import.
+_ARR_LONG = _ArrayType(_LongType())
+
+_MH_A_V = _np.array(MH_A, dtype=_np.int64)
+_MH_B_V = _np.array(MH_B, dtype=_np.int64)
+_SH_A_V = _np.array(SH_A, dtype=_np.int64)
+_SH_B_V = _np.array(SH_B, dtype=_np.int64)
+_BIT_J = _np.arange(SIMHASH_BITS, dtype=_np.int64)
+_PACK_W = (1 << (_np.arange(SIMHASH_BITS) % (SIMHASH_BITS // SIMHASH_CHUNKS))).astype(_np.int64)
+_ROT_S = _np.arange(MINHASH_K, dtype=_np.uint64)
+# slab bound for the (T, 64) int64 temp: 2^18 hashes -> ~128 MB peak
+_KERNEL_CHUNK = 1 << 18
+
+
+def _segments(hs: "_pd.Series"):
+    """Series of int64 lists -> (per-row arrays, lens, valid mask).
+    None input rows (NULL text upstream) stay None on output.
+
+    NULL *elements* are dropped: Arrow hands a list containing nulls
+    over as float64 + NaN (a blind int64 cast would turn NaN into
+    silent garbage), and dropping matches the Column forms on the one
+    reachable case — portable minhash's least() skips null lanes, so a
+    [null] shingle list folds to the init vector either way. The fast
+    minhash kernel takes two ALIGNED arrays; its inputs are xxhash64
+    outputs, which are never null, so per-array filtering cannot
+    misalign them."""
+    empty = _np.empty(0, dtype=_np.int64)
+    arrs, lens, valid = [], [], []
+    for x in hs:
+        if x is None:
+            arrs.append(empty)
+            lens.append(0)
+            valid.append(False)
+        else:
+            a = _np.asarray(x)
+            if a.dtype != _np.int64:
+                a = _np.asarray(
+                    [v for v in x if v is not None and v == v],
+                    dtype=_np.int64,
+                )
+            arrs.append(a)
+            lens.append(len(a))
+            valid.append(True)
+    return arrs, _np.asarray(lens, dtype=_np.int64), _np.asarray(valid, dtype=bool)
+
+
+def _fold_segments(arrs, lens, derive, ufunc, init, width):
+    """Per-segment ``ufunc``-reduce of ``derive(flat) -> (T, width)``
+    rows, chunked on row boundaries so the transient matrix stays under
+    _KERNEL_CHUNK hashes. Empty segments yield ``init`` (reduceat's
+    degenerate-slice value is overwritten)."""
+    n = len(arrs)
+    out = _np.full((n, width), init, dtype=_np.int64)
+    i = 0
+    while i < n:
+        j, tot = i, 0
+        while j < n and (tot == 0 or tot + lens[j] <= _KERNEL_CHUNK):
+            tot += int(lens[j])
+            j += 1
+        if tot:
+            flat = _np.concatenate(arrs[i:j])
+            mat = derive(flat)
+            offs = _np.zeros(j - i, dtype=_np.int64)
+            _np.cumsum(lens[i:j][:-1], out=offs[1:])
+            seg = ufunc.reduceat(mat, _np.minimum(offs, tot - 1), axis=0)
+            seg[lens[i:j] == 0] = init
+            out[i:j] = seg
+        i = j
+    return out
+
+
+def _simhash_packed_udf(hash_mode: str):
+    """pandas UDF: array<bigint> token hashes -> SIMHASH_CHUNKS packed
+    16-bit chunk values (the simhash bits, chunk-packed — see
+    simhash_pairs). Bit j per token: portable = parity of the affine
+    family (≡ simhash_portable); fast = bit j of the xxhash64 value
+    (numpy int64 >> is arithmetic, same as Java — ≡ simhash())."""
+    if hash_mode == "portable":
+
+        def derive(flat):
+            return ((flat[:, None] * _SH_A_V + _SH_B_V) % MH_PRIME % 2) * 2 - 1
+
+    else:
+
+        def derive(flat):
+            return ((flat[:, None] >> _BIT_J) & 1) * 2 - 1
+
+    @_pandas_udf(_ARR_LONG)
+    def kernel(hs: _pd.Series) -> _pd.Series:
+        arrs, lens, valid = _segments(hs)
+        votes = _fold_segments(arrs, lens, derive, _np.add, 0, SIMHASH_BITS)
+        bits = (votes > 0).astype(_np.int64)
+        packed = (bits * _PACK_W).reshape(len(lens), SIMHASH_CHUNKS, -1).sum(axis=2)
+        return _pd.Series(
+            [row if ok else None for row, ok in zip(packed.tolist(), valid)]
+        )
+
+    return kernel
+
+
+def _minhash_sig_portable_udf():
+    """pandas UDF: array<bigint> portable shingle hashes -> k-lane
+    minhash signature (≡ minhash_signature_portable; inputs are 28-bit
+    so products stay < 2^59, no overflow)."""
+
+    def derive(flat):
+        return (flat[:, None] * _MH_A_V + _MH_B_V) % MH_PRIME
+
+    @_pandas_udf(_ARR_LONG)
+    def kernel(sh: _pd.Series) -> _pd.Series:
+        arrs, lens, valid = _segments(sh)
+        sig = _fold_segments(arrs, lens, derive, _np.minimum, MH_PRIME, MINHASH_K)
+        return _pd.Series(
+            [row if ok else None for row, ok in zip(sig.tolist(), valid)]
+        )
+
+    return kernel
+
+
+def _minhash_sig_fast_udf():
+    """pandas UDF: (h1s, h2s) = per-shingle xxhash64(s), xxhash64(s, 1)
+    -> k-lane minhash signature via the xor-rotate double-hashing family
+    h_i = h1 ^ rotl(h2, i) (≡ minhash_signature; rotation runs on the
+    uint64 bit pattern, minima compare SIGNED like F.least on long)."""
+
+    def derive2(f1, f2):
+        u = f2.view(_np.uint64)[:, None]
+        rot = (u << _ROT_S) | (u >> ((_np.uint64(64) - _ROT_S) % _np.uint64(64)))
+        return (f1.view(_np.uint64)[:, None] ^ rot).view(_np.int64)
+
+    @_pandas_udf(_ARR_LONG)
+    def kernel(h1s: _pd.Series, h2s: _pd.Series) -> _pd.Series:
+        arrs1, lens, valid = _segments(h1s)
+        arrs2, _, _ = _segments(h2s)
+        n = len(arrs1)
+        out = _np.full((n, MINHASH_K), _LONG_MAX, dtype=_np.int64)
+        i = 0
+        while i < n:
+            j, tot = i, 0
+            while j < n and (tot == 0 or tot + lens[j] <= _KERNEL_CHUNK):
+                tot += int(lens[j])
+                j += 1
+            if tot:
+                mat = derive2(
+                    _np.concatenate(arrs1[i:j]), _np.concatenate(arrs2[i:j])
+                )
+                offs = _np.zeros(j - i, dtype=_np.int64)
+                _np.cumsum(lens[i:j][:-1], out=offs[1:])
+                seg = _np.minimum.reduceat(mat, _np.minimum(offs, tot - 1), axis=0)
+                seg[lens[i:j] == 0] = _LONG_MAX
+                out[i:j] = seg
+            i = j
+        return _pd.Series(
+            [row if ok else None for row, ok in zip(out.tolist(), valid)]
+        )
+
+    return kernel
+
+
+_SIMHASH_KERNELS = {m: _simhash_packed_udf(m) for m in ("fast", "portable")}
+_MINHASH_PORTABLE_KERNEL = _minhash_sig_portable_udf()
+_MINHASH_FAST_KERNEL = _minhash_sig_fast_udf()
+
+
 def _bucket_pairs(bands: DataFrame, key_cols: list[str]) -> DataFrame:
     """(doc_id, *key_cols) → distinct candidate pairs (doc_a < doc_b)
     within each capped bucket. Shared by minhash and simhash blocking."""
@@ -337,15 +528,29 @@ def minhash_signatures(
     builds internally, exposed as a storable artifact: at warehouse
     scale every incremental dedup pipeline materializes exactly this
     (signatures are ~0.1% of text size) so history is never re-shingled.
-    Store it bucketed/partitioned however the probe joins need."""
+    Store it bucketed/partitioned however the probe joins need.
+
+    Shingling/hashing is JVM-side; the k-lane min-fold runs in the
+    vectorized numpy kernel (bit-exact vs the Column/SQL constructors —
+    see the kernel section note), fed the shingle-hash array (portable)
+    or the two xxhash64 derivations of it (fast)."""
     if hash_mode == "portable":
         sh_col = F.expr(_portable_shingle_hashes_sql(f"`{text_col}`"))
-        sig_col = F.expr(_minhash_signature_portable_sql(f"`{text_col}`"))
-    else:
-        sh_col = shingle_hashes(F.col(text_col))
-        sig_col = minhash_signature(F.col(text_col))
-    return docs.select(
-        F.col(id_col).alias("doc_id"), sh_col.alias("sh"), sig_col.alias("sig")
+        base = docs.select(F.col(id_col).alias("doc_id"), sh_col.alias("sh"))
+        return base.select(
+            "doc_id", "sh", _MINHASH_PORTABLE_KERNEL("sh").alias("sig")
+        )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col)).alias("sh"),
+    )
+    return base.select(
+        "doc_id",
+        "sh",
+        _MINHASH_FAST_KERNEL(
+            F.transform("sh", lambda s: F.xxhash64(s)),
+            F.transform("sh", lambda s: F.xxhash64(s, F.lit(1))),
+        ).alias("sig"),
     )
 
 
@@ -604,36 +809,37 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, candidates
     blocked on equality of one of SIMHASH_CHUNKS 16-bit chunks.
-    hash_mode as in minhash_lsh_pairs ("portable" = DuckDB-checkable)."""
-    chunk = SIMHASH_BITS // SIMHASH_CHUNKS
+    hash_mode as in minhash_lsh_pairs ("portable" = DuckDB-checkable).
+
+    The signature table carries the 64 bits PACKED into SIMHASH_CHUNKS
+    integers (16 bits each): the packed value doubles as the exact
+    blocking key (chunk equality == packed equality — no hash, so no
+    spurious hash-collision candidates) and as the verify payload —
+    Hamming(a, b) == sum over chunks of bit_count(xor), so the verify
+    join ships 4 longs per side instead of a 64-int array and the
+    per-pair distance is 4 xor+popcounts instead of a 64-element
+    zip_with fold. Same result, ~16x less verify compute/width."""
     # same shuffle discipline as minhash_lsh_pairs: buckets carry doc_ids
-    # only; signatures join back for the (rare) candidate pairs.
-    sig_col = (
-        F.expr(_simhash_portable_sql(f"`{text_col}`"))
+    # only; signatures join back for the (rare) candidate pairs. Token
+    # hashing is JVM-side; the 64-lane vote fold + chunk packing run in
+    # the numpy kernel (bit-exact vs simhash()/simhash_portable()).
+    th_col = (
+        F.expr(
+            f"transform({_tokens_sql(f'`{text_col}`')},"
+            f" t -> {_PHASH_SQL.format(s='t')})"
+        )
         if hash_mode == "portable"
-        else simhash(F.col(text_col))
+        else F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     )
     sig = persist_swap(
         "simhash_sig",
-        docs.select(F.col(id_col).alias("doc_id"), sig_col.alias("bits")),
+        docs.select(F.col(id_col).alias("doc_id"), th_col.alias("_th")).select(
+            "doc_id", _SIMHASH_KERNELS[hash_mode]("_th").alias("packed")
+        ),
     )
 
-    def chunk_sig(c: int) -> Column:
-        if hash_mode == "portable":
-            # pack the 16 chunk bits into an int — SQL-mirrorable
-            s = F.lit(0)
-            for j in range(chunk):
-                s = s + F.col("bits")[c * chunk + j] * (2**j)
-            return s.cast("long")
-        return F.xxhash64(
-            F.array_join(F.slice("bits", c * chunk + 1, chunk), ""), F.lit(c)
-        )
-
     chunks = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[chunk_sig(c) for c in range(SIMHASH_CHUNKS)])
-        ).alias("chunk", "chunk_sig"),
+        "doc_id", F.posexplode("packed").alias("chunk", "chunk_sig")
     )
     # same both-sides-broadcast-filtered verify shape as _jaccard_verify
     # (review r4): the (rare) pair list feeds two broadcasts, so it is
@@ -641,16 +847,20 @@ def simhash_pairs(
     pairs = persist_swap("simhash_cand", _bucket_pairs(chunks, ["chunk", "chunk_sig"]))
     b_keys = pairs.select(F.col("doc_b").alias("_idb")).distinct()
     sig_b = sig.join(F.broadcast(b_keys), sig.doc_id == F.col("_idb")).select(
-        F.col("doc_id").alias("_docb"), F.col("bits").alias("bits_b")
+        F.col("doc_id").alias("_docb"), F.col("packed").alias("packed_b")
     )
     joined = (
         sig.join(F.broadcast(pairs), sig.doc_id == pairs.doc_a)
-        .select("doc_a", "doc_b", F.col("bits").alias("bits_a"))
+        .select("doc_a", "doc_b", F.col("packed").alias("packed_a"))
         .join(sig_b, F.col("doc_b") == F.col("_docb"))
-        .select("doc_a", "doc_b", "bits_a", "bits_b")
+        .select("doc_a", "doc_b", "packed_a", "packed_b")
     )
     hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda a, b: (a != b).cast("int")),
+        F.zip_with(
+            "packed_a",
+            "packed_b",
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
         F.lit(0),
         lambda acc, x: acc + x,
     )

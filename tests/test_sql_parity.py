@@ -141,6 +141,88 @@ def test_portable_signatures_column_vs_sql_forms(spark):
     assert sql_form.exceptAll(col_form).count() == 0
 
 
+def test_signature_kernels_match_column_forms(spark):
+    """r4 moved the k=64-lane signature folds (minhash minima, simhash
+    votes) into vectorized numpy kernels (HOF lambdas are interpreted —
+    see the dedup.py kernel note). This pins all four kernels bit-exact
+    against the Column reference constructors, including NULL text,
+    empty string, 1-token, and all-repeat docs."""
+    from deepseek_ocr_spark.operators.dedup import (
+        _MINHASH_FAST_KERNEL,
+        _MINHASH_PORTABLE_KERNEL,
+        _PHASH_SQL,
+        _SIMHASH_KERNELS,
+        _portable_shingle_hashes_sql,
+        _tokens_sql,
+        minhash_signature,
+        minhash_signature_portable,
+        shingle_hashes,
+        simhash,
+        simhash_portable,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two"),
+            (3, "x"),
+            (4, "repeat repeat repeat repeat repeat repeat"),
+            (5, ""),
+            (6, None),
+            (7, "ünïcødé ƒun tokens here and more of them"),
+        ],
+        "doc_id long, text string",
+    )
+    # pack the Column-form simhash bits into chunks the same way the
+    # kernel does, so both sides compare on the packed representation
+    pack_sql = (
+        "CASE WHEN b IS NULL THEN NULL ELSE"
+        " transform(sequence(0, 3), c -> aggregate(sequence(0, 15),"
+        " CAST(0 AS BIGINT), (s, j) -> s + b[c * 16 + j]"
+        " * CAST(pow(2, j) AS BIGINT))) END"
+    )
+    th_portable = F.expr(
+        f"transform({_tokens_sql('`text`')}, t -> {_PHASH_SQL.format(s='t')})"
+    )
+    th_fast = F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t))
+    sh_fast = shingle_hashes(F.col("text"))
+    ref = docs.select(
+        "doc_id",
+        simhash_portable(F.col("text")).alias("sp"),
+        simhash(F.col("text")).alias("sf"),
+        minhash_signature_portable(F.col("text")).alias("min_p"),
+        minhash_signature(F.col("text")).alias("min_f"),
+    ).select(
+        "doc_id",
+        F.expr(pack_sql.replace("b ", "sp ").replace("b[", "sp[")).alias("sim_p"),
+        F.expr(pack_sql.replace("b ", "sf ").replace("b[", "sf[")).alias("sim_f"),
+        "min_p",
+        "min_f",
+    )
+    got = (
+        docs.select(
+            "doc_id",
+            th_portable.alias("_thp"),
+            th_fast.alias("_thf"),
+            F.expr(_portable_shingle_hashes_sql("`text`")).alias("_shp"),
+            sh_fast.alias("_shf"),
+        )
+        .select(
+            "doc_id",
+            _SIMHASH_KERNELS["portable"]("_thp").alias("sim_p"),
+            _SIMHASH_KERNELS["fast"]("_thf").alias("sim_f"),
+            _MINHASH_PORTABLE_KERNEL("_shp").alias("min_p"),
+            _MINHASH_FAST_KERNEL(
+                F.transform("_shf", lambda s: F.xxhash64(s)),
+                F.transform("_shf", lambda s: F.xxhash64(s, F.lit(1))),
+            ).alias("min_f"),
+        )
+    )
+    assert ref.exceptAll(got).count() == 0
+    assert got.exceptAll(ref).count() == 0
+
+
 def test_hyperplane_margins_str_vs_column_paths(spark):
     """The str (SQL-parsed) and Column constructions of the hyperplane
     margins must agree bitwise, for both fixed-dim and runtime-sliced
