@@ -270,6 +270,79 @@ def hyperplane_bucket(
     return bucket.cast("int")
 
 
+# --- vectorized bucket kernel (Arrow/numpy) --------------------------------
+# Same rationale as the dedup signature kernels (see operators/dedup.py
+# kernel section + CLAUDE.md rule 19): the per-plane margin folds are
+# HOF lambdas, evaluated interpreted, and d5 evaluates them 8x per row
+# (4 tables x both self-join sides). The kernel computes ALL tables'
+# buckets in one pass. Byte-exactness for FLOAT math: np.cumsum is a
+# strictly sequential accumulate (numpy's pairwise summation applies to
+# sum/reduce, not accumulate), so it reproduces the JVM fold's
+# left-to-right IEEE-double rounding; float->double casts and the ±1
+# literal multiplies are exact. Pinned vs hyperplane_bucket by
+# tests/test_sql_parity.py.
+
+import numpy as _np
+import pandas as _pd
+from pyspark.sql.functions import pandas_udf as _pandas_udf
+from pyspark.sql.types import ArrayType as _ArrayType, IntegerType as _IntegerType
+
+_ARR_INT = _ArrayType(_IntegerType())
+_BUCKET_SLAB = 2048  # rows per (rows, tables*planes, dim) temp slab
+
+
+def _bucket_tables_kernel(n_planes: int, n_tables: int, dim: int):
+    """pandas UDF: array<float> embedding -> array<int> of the n_tables
+    hyperplane-LSH bucket ids (table t = plane block [t·n_planes,
+    (t+1)·n_planes)), byte-exact vs hyperplane_bucket per table.
+    Wrong-width AND NULL embeddings raise — the same behavior as the
+    JVM path, whose width guard's CASE falls through to raise_error
+    when size(NULL) is NULL."""
+    total = n_tables * n_planes
+    if total > MAX_PLANES:
+        raise ValueError(
+            f"plane block [0, {total}) exceeds MAX_PLANES={MAX_PLANES}; "
+            "extend HYPERPLANES"
+        )
+    if dim > MAX_DIM:
+        raise ValueError(f"dim={dim} exceeds MAX_DIM={MAX_DIM} hyperplane width")
+    W = _np.array(
+        [HYPERPLANES[p][:dim] for p in range(total)], dtype=_np.float64
+    )  # (tables*planes, dim)
+    pow2 = 1 << _np.arange(n_planes, dtype=_np.int64)
+
+    @_pandas_udf(_ARR_INT)
+    def kernel(vs: _pd.Series) -> _pd.Series:
+        out = [None] * len(vs)
+        idx = []
+        for i, x in enumerate(vs):
+            if x is None:
+                raise ValueError(
+                    f"NULL embedding (declared dim={dim}) — same contract "
+                    "as the JVM width guard"
+                )
+            idx.append(i)
+        for s in range(0, len(idx), _BUCKET_SLAB):
+            chunk = idx[s : s + _BUCKET_SLAB]
+            try:
+                V = _np.asarray(
+                    [_np.asarray(vs.iloc[i], dtype=_np.float64) for i in chunk]
+                )
+            except ValueError:
+                V = _np.empty(0)
+            if V.ndim != 2 or V.shape[1] != dim:
+                raise ValueError(f"embedding width != declared dim={dim}")
+            # (rows, tables*planes): sequential fold via cumsum
+            m = _np.cumsum(V[:, None, :] * W[None, :, :], axis=2)[:, :, -1]
+            bits = (m > 0).reshape(len(chunk), n_tables, n_planes)
+            bkts = (bits * pow2).sum(axis=2).astype(_np.int32)
+            for j, i in enumerate(chunk):
+                out[i] = bkts[j]
+        return _pd.Series(out)
+
+    return kernel
+
+
 def probe_buckets(
     vec: Column | str,
     n_planes: int = N_PLANES,
@@ -848,10 +921,53 @@ def embedding_dup_pairs(
     cosine is computed per table so the exchange never carries vectors).
     Measured at sf0.1: planted recall 0.8225 (1×8) → 0.9975 (4×8).
     Per-table join cost is unchanged; total candidate work is ≤ L× the
-    single-table scan, still ~|block|²/2^n_planes per block."""
+    single-table scan, still ~|block|²/2^n_planes per block.
+
+    With a known ``dim``, all tables' buckets come from ONE pass of the
+    vectorized kernel over a persisted vector table (the JVM margin
+    folds are interpreted and the self-join evaluates its input twice
+    per table — 2·L fold evaluations per row otherwise); dim=None keeps
+    the runtime-width JVM path."""
     _validate_tables(n_planes, n_tables)
 
+    v_all = None
+    if n_planes and dim is not None:
+        from ._cache import persist_swap
+
+        v_all = persist_swap(
+            "embdup_vecs",
+            vectors.select(
+                F.col(block_col).alias("blk"),
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).alias("vec"),
+                _bucket_tables_kernel(n_planes, n_tables, dim)(vec_col).alias(
+                    "_bkts"
+                ),
+            ),
+        )
+
     def one_table(t: int) -> DataFrame:
+        if v_all is not None:
+            v = v_all.select(
+                "blk", "vid", "vec", F.col("_bkts")[t].alias("bkt")
+            )
+            a, b = v.alias("a"), v.alias("b")
+            return (
+                a.join(
+                    b,
+                    (F.col("a.blk") == F.col("b.blk"))
+                    & (F.col("a.bkt") == F.col("b.bkt")),
+                )
+                .filter(F.col("a.vid") < F.col("b.vid"))
+                .select(
+                    F.col("a.vid").alias("vec_a"),
+                    F.col("b.vid").alias("vec_b"),
+                    F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias(
+                        "cos_sim"
+                    ),
+                )
+                .filter(F.col("cos_sim") >= threshold)
+            )
         cols = [
             F.col(block_col).alias("blk"),
             F.col(id_col).alias("vid"),

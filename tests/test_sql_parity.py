@@ -223,6 +223,49 @@ def test_signature_kernels_match_column_forms(spark):
     assert got.exceptAll(ref).count() == 0
 
 
+def test_bucket_tables_kernel_matches_jvm_buckets(spark):
+    """The d5 all-tables bucket kernel (numpy cumsum fold) must be
+    byte-exact vs hyperplane_bucket for every table block — float math,
+    so this is the sequential-rounding contract, not just approx-equal.
+    Pins the wrong-width and NULL-embedding raises (the JVM width
+    guard's CASE falls through to raise_error on a NULL vector, so the
+    kernel must raise there too, not emit NULL)."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from deepseek_ocr_spark.operators.similarity import (
+        _bucket_tables_kernel,
+        hyperplane_bucket,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-2, 2) for _ in range(64)]) for i in range(300)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kern = _bucket_tables_kernel(8, 4, 64)
+    got = vecs.select("vec_id", kern("embedding").alias("bk"))
+    ref = vecs.select(
+        "vec_id",
+        F.array(
+            *[hyperplane_bucket("embedding", 8, 64, base=t * 8) for t in range(4)]
+        ).alias("bk"),
+    )
+    g = {r["vec_id"]: r["bk"] for r in got.collect()}
+    e = {r["vec_id"]: r["bk"] for r in ref.collect()}
+    for i in range(300):
+        assert g[i] == e[i], (i, g[i], e[i])
+    bad = spark.createDataFrame(
+        [(1, [0.5] * 32)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(PythonException, match="declared dim"):
+        bad.select(kern("embedding")).collect()
+    nul = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(PythonException, match="NULL embedding"):
+        nul.select(kern("embedding")).collect()
+
+
 def test_hyperplane_margins_str_vs_column_paths(spark):
     """The str (SQL-parsed) and Column constructions of the hyperplane
     margins must agree bitwise, for both fixed-dim and runtime-sliced
