@@ -138,15 +138,17 @@ def _bench_minhash(spark, docs_path: str) -> tuple[float, int]:
 _SCALE_JOBS = {"extract": _bench_extraction, "minhash": _bench_minhash}
 
 
-def _scale_worker(cores: int, docs_path: str, job: str = "extract") -> None:
+def _scale_worker(
+    cores: int, docs_path: str, job: str = "extract", n_runs: int = 4
+) -> None:
     """Subprocess entry: time one scaling job at local[cores] (fresh
-    JVM), best of 4 after warmup; prints one JSON line."""
+    JVM), best of n_runs after warmup; prints one JSON line."""
     from deepseek_ocr_spark.session import get_spark
 
     fn = _SCALE_JOBS[job]
     s = get_spark(parallelism=cores, app_name=f"bench-scale-{job}-{cores}")
     fn(s, docs_path)  # warmup (JIT, codegen)
-    runs = [fn(s, docs_path) for _ in range(4)]
+    runs = [fn(s, docs_path) for _ in range(n_runs)]
     # min-of-N: the sandbox VM sees sporadic host-level steal that can
     # stall a run 5-20x; the least-contended run is the honest capacity
     # number at each level.
@@ -423,37 +425,60 @@ def main() -> None:
         # sublinear scaling); 400k docs x 256 files puts the 32-core run
         # at ~7s and yields equal per-core throughput.
         scale_docs = max(N_DOCS * 20, 400_000)
-        # layout-keyed path: the headline corpus of the same size has
-        # default partitioning; reusing it would void the 256-file premise
-        scale_p = _corpus_path("documents_p256", scale_docs)
-        if not _corpus_ready(scale_p):
-            from deepseek_ocr_spark import corpus
+        # the minhash job got ~4x faster in r4 (numpy signature kernels)
+        # and now finishes 400k docs in ~16 s at 32 cores — short enough
+        # that fixed costs (driver broadcast collects, stage scheduling,
+        # AQE re-planning: ~6 s, level-independent) eat a third of the
+        # fast leg and fake sublinearity (rule 5b). The SHUFFLE job
+        # therefore runs a 3x corpus so the parallel region dominates at
+        # both levels; throughput (docs/s) stays the comparable metric.
+        scale_docs_minhash = 3 * scale_docs
+        spark_gen = spark
+        from deepseek_ocr_spark import corpus as _corpus_mod
 
-            corpus.spark_documents(spark, seed=42, n_docs=scale_docs).repartition(
-                256
-            ).write.mode("overwrite").parquet(scale_p)
+        paths = {}
+        for job, n in (("extract", scale_docs), ("minhash", scale_docs_minhash)):
+            # layout-keyed path: the headline corpus of the same size has
+            # default partitioning; reusing it would void the 256-file
+            # premise
+            p = _corpus_path("documents_p256", n)
+            if not _corpus_ready(p):
+                _corpus_mod.spark_documents(
+                    spark_gen, seed=42, n_docs=n
+                ).repartition(256).write.mode("overwrite").parquet(p)
+            paths[job] = (p, n)
         spark.stop()
         # each level in a FRESH subprocess: a restarted SparkContext
         # shares the parent's JVM and inherits its degraded heap/JIT
         # state, which poisons timings.
         import subprocess
 
+        # TEMPORALLY INTERLEAVED cycles: host steal arrives in
+        # multi-minute windows, so running all of one level then all of
+        # the other lets a single window poison one level's entire
+        # sample and fake (or inflate) the efficiency ratio. Two cycles
+        # of 8→32, two timed runs per fresh JVM, min per level across
+        # cycles — each level gets a shot at every contention window.
         for job, key in (("extract", ""), ("minhash", "_minhash")):
-            scaling = {}
-            for cores in (8, 32):
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--scale-worker", str(cores), scale_p, job],
-                    capture_output=True,
-                    text=True,
-                    check=True,
-                )
-                scaling[str(cores)] = json.loads(
-                    out.stdout.strip().splitlines()[-1]
-                )
-            eff = (scaling["8"]["sec"] / scaling["32"]["sec"]) / 4.0
-            result[f"scaling{key}"] = scaling
+            best = {"8": None, "32": None}
+            for _cycle in range(2):
+                for cores in (8, 32):
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--scale-worker", str(cores), paths[job][0], job,
+                         "2"],
+                        capture_output=True,
+                        text=True,
+                        check=True,
+                    )
+                    got = json.loads(out.stdout.strip().splitlines()[-1])
+                    k = str(cores)
+                    if best[k] is None or got["sec"] < best[k]["sec"]:
+                        best[k] = got
+            eff = (best["8"]["sec"] / best["32"]["sec"]) / 4.0
+            result[f"scaling{key}"] = best
             result[f"scaling_efficiency_8_to_32{key}"] = round(eff, 3)
+            result[f"scaling_docs{key}"] = paths[job][1]
         result["scaling_docs"] = scale_docs
 
     print(json.dumps(result))
@@ -465,6 +490,7 @@ if __name__ == "__main__":
             int(sys.argv[2]),
             sys.argv[3],
             sys.argv[4] if len(sys.argv) > 4 else "extract",
+            int(sys.argv[5]) if len(sys.argv) > 5 else 4,
         )
     else:
         main()

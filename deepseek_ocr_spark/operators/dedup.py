@@ -17,11 +17,14 @@ interpreted) and the bit-exactness contract.
   the quadratic pair fan-out (standard practice; truncation is
   observable via ``lsh_bucket_stats`` — run it when cap loss matters).
 
-Caching note: the pair operators persist their signature table (it
-feeds the band branch plus two verify probes) via _cache.persist_swap —
-each invocation releases the previous one's cache, so repeated runs
-hold steady-state storage (test-pinned); _cache.release() drops the
-last one when the dedup layer is done.
+Caching note: the pair operators persist only BOUNDED intermediates
+(candidate pair lists; simhash's fixed-width packed signatures) via
+_cache.persist_swap — each invocation releases the previous one's
+cache, so repeated runs hold steady-state storage (test-pinned);
+_cache.release() drops the last one when the dedup layer is done.
+minhash_lsh_pairs holds NO corpus-sized cache at all: bands consume
+the signature in one lazy pass and the verify shingles only candidate
+docs (post-filter projection).
 - SimHash: 64-bit signature from per-bit majority vote of token
   hashes; near-dup candidates share one of 4 16-bit chunks
   (Hamming ≤ 3 ⇒ at least one chunk equal by pigeonhole when the 3
@@ -287,8 +290,36 @@ _SH_B_V = _np.array(SH_B, dtype=_np.int64)
 _BIT_J = _np.arange(SIMHASH_BITS, dtype=_np.int64)
 _PACK_W = (1 << (_np.arange(SIMHASH_BITS) % (SIMHASH_BITS // SIMHASH_CHUNKS))).astype(_np.int64)
 _ROT_S = _np.arange(MINHASH_K, dtype=_np.uint64)
-# slab bound for the (T, 64) int64 temp: 2^18 hashes -> ~128 MB peak
-_KERNEL_CHUNK = 1 << 18
+_ROT_INV = (_np.uint64(64) - _ROT_S) % _np.uint64(64)
+# Slab bound for the (T, 64) temps: 2^12 hashes -> 2 MB per buffer,
+# near-L2-resident so the multi-pass in-place ufuncs don't stream DRAM
+# (16 MB slabs saturated memory bandwidth at 32 workers and capped the
+# sig-stage speedup at ~2x; 1<<10 measured no better). Buffers MUST
+# also stay under glibc's mmap-threshold cap (32 MB): bigger temps are
+# always fresh mmaps, and 32 workers churning mmap/munmap per slab is a
+# TLB-shootdown storm — measured 94% SYSTEM time at local[32] (0.4%
+# user) with 128 MB slabs, making the kernel stage SLOWER at 32 cores
+# than at 8. Buffers are pooled per worker (_buf) and written with
+# out= so steady-state slabs allocate nothing at all.
+_KERNEL_CHUNK = 1 << 12
+
+_BUF: dict = {}
+
+
+def _buf(rows, width, dtype, tag: int = 0, capacity: int = _KERNEL_CHUNK):
+    """Per-worker reusable (rows, width) view into a CAPACITY-sized
+    ndarray. The pool is keyed by (capacity, width, dtype, tag) — NOT
+    by rows, which varies per doc-aligned slab; a rows-keyed pool would
+    allocate a fresh buffer per distinct slab size and keep them all
+    (unbounded growth, zero reuse). One buffer per kernel shape lives
+    for the worker's lifetime, so steady-state slabs do zero large
+    allocations — the mmap/page-fault churn fix above."""
+    key = (capacity, width, _np.dtype(dtype).str, tag)
+    b = _BUF.get(key)
+    if b is None:
+        b = _np.empty((capacity, width), dtype=dtype)
+        _BUF[key] = b
+    return b[:rows]
 
 
 def _segments(hs: "_pd.Series"):
@@ -357,12 +388,26 @@ def _simhash_packed_udf(hash_mode: str):
     if hash_mode == "portable":
 
         def derive(flat):
-            return ((flat[:, None] * _SH_A_V + _SH_B_V) % MH_PRIME % 2) * 2 - 1
+            # ((h*A + B) % P % 2) * 2 - 1, in-place in a pooled buffer
+            t = _buf(len(flat), SIMHASH_BITS, _np.int64)
+            _np.multiply(flat[:, None], _SH_A_V, out=t)
+            t += _SH_B_V
+            t %= MH_PRIME
+            t %= 2
+            t *= 2
+            t -= 1
+            return t
 
     else:
 
         def derive(flat):
-            return ((flat[:, None] >> _BIT_J) & 1) * 2 - 1
+            # ((h >> j) & 1) * 2 - 1, in-place in a pooled buffer
+            t = _buf(len(flat), SIMHASH_BITS, _np.int64)
+            _np.right_shift(flat[:, None], _BIT_J, out=t)
+            t &= 1
+            t *= 2
+            t -= 1
+            return t
 
     @_pandas_udf(_ARR_LONG)
     def kernel(hs: _pd.Series) -> _pd.Series:
@@ -370,8 +415,12 @@ def _simhash_packed_udf(hash_mode: str):
         votes = _fold_segments(arrs, lens, derive, _np.add, 0, SIMHASH_BITS)
         bits = (votes > 0).astype(_np.int64)
         packed = (bits * _PACK_W).reshape(len(lens), SIMHASH_CHUNKS, -1).sum(axis=2)
+        # ndarray row views, not tolist(): materializing ~64 PyLong
+        # objects per row churns CPython's 256 KB obmalloc arenas —
+        # more mmap/page-fault pressure (see the slab-size note above);
+        # Arrow consumes ndarray elements directly
         return _pd.Series(
-            [row if ok else None for row, ok in zip(packed.tolist(), valid)]
+            [row if ok else None for row, ok in zip(list(packed), valid)]
         )
 
     return kernel
@@ -383,14 +432,19 @@ def _minhash_sig_portable_udf():
     so products stay < 2^59, no overflow)."""
 
     def derive(flat):
-        return (flat[:, None] * _MH_A_V + _MH_B_V) % MH_PRIME
+        # (h*A + B) % P, in-place in a pooled buffer
+        t = _buf(len(flat), MINHASH_K, _np.int64)
+        _np.multiply(flat[:, None], _MH_A_V, out=t)
+        t += _MH_B_V
+        t %= MH_PRIME
+        return t
 
     @_pandas_udf(_ARR_LONG)
     def kernel(sh: _pd.Series) -> _pd.Series:
         arrs, lens, valid = _segments(sh)
         sig = _fold_segments(arrs, lens, derive, _np.minimum, MH_PRIME, MINHASH_K)
         return _pd.Series(
-            [row if ok else None for row, ok in zip(sig.tolist(), valid)]
+            [row if ok else None for row, ok in zip(list(sig), valid)]
         )
 
     return kernel
@@ -403,9 +457,17 @@ def _minhash_sig_fast_udf():
     uint64 bit pattern, minima compare SIGNED like F.least on long)."""
 
     def derive2(f1, f2):
+        # h1 ^ rotl(h2, i) on the uint64 bit pattern, pooled buffers;
+        # lane 0: shift-by-0 both ways ORs u with itself = u (≡ _rotl's
+        # i%64==0 identity)
         u = f2.view(_np.uint64)[:, None]
-        rot = (u << _ROT_S) | (u >> ((_np.uint64(64) - _ROT_S) % _np.uint64(64)))
-        return (f1.view(_np.uint64)[:, None] ^ rot).view(_np.int64)
+        t = _buf(len(f2), MINHASH_K, _np.uint64, 0)
+        t2 = _buf(len(f2), MINHASH_K, _np.uint64, 1)
+        _np.left_shift(u, _ROT_S, out=t)
+        _np.right_shift(u, _ROT_INV, out=t2)
+        t |= t2
+        t ^= f1.view(_np.uint64)[:, None]
+        return t.view(_np.int64)
 
     @_pandas_udf(_ARR_LONG)
     def kernel(h1s: _pd.Series, h2s: _pd.Series) -> _pd.Series:
@@ -430,7 +492,7 @@ def _minhash_sig_fast_udf():
                 out[i:j] = seg
             i = j
         return _pd.Series(
-            [row if ok else None for row, ok in zip(out.tolist(), valid)]
+            [row if ok else None for row, ok in zip(list(out), valid)]
         )
 
     return kernel
@@ -497,24 +559,29 @@ def minhash_lsh_pairs(
     Shuffle discipline (the 100 TB shape): the band explosion ships
     (doc_id, band_sig) only — 16 fixed-width rows per doc, never the
     shingle sets. Candidate pairs (rare) are then verified by joining
-    the shingle table back, with the pair list broadcast to both probe
-    joins, so document content crosses the wire at most once.
+    the text table back, with the pair list broadcast to both probe
+    joins and shingles computed AFTER that filter, so document content
+    crosses the wire at most once and shingle sets are only ever built
+    for candidate docs.
+
+    No signature cache: the band branch consumes sig in one lazy pass,
+    and the verify probes re-shingle only the (rare) candidate docs —
+    cheaper than materializing a 400k-row (sh, sig) columnar cache
+    (measured ~5 s of non-scaling cache-write at sf-scaling size; the
+    old three-branch cache was also the only reason this operator held
+    memory proportional to the corpus). The persisted artifact for
+    build-once pipelines remains minhash_signatures + the incremental
+    path, which read/write REAL storage, not executor memory.
     """
-    # The DAG references this three ways (band branch + two verify
-    # probes); cache so shingling runs once. At warehouse scale this is
-    # the materialized signature table every minhash pipeline writes
-    # before banding (minhash_signatures is that artifact, and the
-    # portable mode's SQL-parsed constructors live there).
-    # (Cache lifetime: see module docstring.)
-    base = persist_swap(
-        "minhash_sig",
-        minhash_signatures(docs, text_col, id_col, hash_mode),
-    )
-    bands = _band_explode(base, hash_mode)
+    sigs = minhash_signatures(docs, text_col, id_col, hash_mode)
+    bands = _band_explode(sigs.select("doc_id", "sig"), hash_mode)
     pairs = _bucket_pairs(bands, ["band", "band_sig"])
-    sh_tab = base.select("doc_id", "sh")
+    text_tab = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
     return _jaccard_verify(
-        pairs, "doc_a", "doc_b", sh_tab, sh_tab, jaccard_threshold
+        pairs, "doc_a", "doc_b", text_tab, jaccard_threshold,
+        hash_mode=hash_mode,
     ).select("doc_a", "doc_b", "jaccard")
 
 
@@ -558,44 +625,69 @@ def _jaccard_verify(
     cand: DataFrame,
     a_key: str,
     b_key: str,
-    sh_a_tab: DataFrame,
-    sh_b_tab: DataFrame,
+    probe_tab: DataFrame,
     threshold: float,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs: cand(a_key, b_key,
-    *extras) joined to two (doc_id, sh) shingle tables → cand columns +
-    jaccard, filtered at threshold. BOTH probe sides are filtered by a
-    broadcast of the (rare) pair list before any wide join, so the full
-    shingle tables never shuffle — critical on the incremental path,
-    where the b side is the ENTIRE persisted store (review r4: the old
-    single-broadcast form sort-merge-joined the full b table, making
-    probe cost scale with the store, not the slice). Only candidate
-    docs' shingles cross the wire, once, in the final pair join. Shared
-    by the batch and incremental minhash paths.
+    *extras) → cand columns + jaccard, filtered at threshold.
 
-    The pair list is persisted (persist_swap, bounded: id pairs only):
-    it feeds TWO broadcast exchanges, and without the cache each
-    broadcast would re-evaluate the upstream band join independently —
-    measured 3x the whole verify cost on the 400k-doc probe."""
+    ``probe_tab`` must contain EVERY doc id referenced by either side
+    of cand (batch: the corpus table; incremental: store ∪ slice — the
+    slice-side superset). It carries EITHER a precomputed ``sh`` column
+    (the incremental path probes a persisted signature store) OR a raw
+    ``_text`` column, in which case shingles are computed AFTER the
+    candidate filter — only the (rare) candidate docs are ever
+    shingled, and no corpus-sized intermediate needs caching.
+
+    Broadcast discipline (the non-scaling driver cost): exactly ONE
+    broadcast, of the distinct candidate ids (single fixed-width
+    column). The r4 two-broadcast form built THREE driver-side hash
+    relations over full pair rows — measured ~5-6 s of
+    level-independent time at 178k pairs, the dominant non-scaling
+    section of the whole batch job. The probe table is
+    broadcast-filtered by those ids (so the full table never shuffles —
+    critical on the incremental path, where it is the ENTIRE persisted
+    store), deduped per doc id (store∪slice overlap docs carry two
+    identical rows — emitting pairs twice, review r4), shingled
+    post-filter, and persisted (bounded: candidate docs only; it feeds
+    both pair joins). The pair joins then shuffle only candidate-doc
+    shingle rows — parallel work, never a driver section.
+
+    The pair list is persisted too (bounded: id pairs only) — it feeds
+    the ids broadcast AND the final joins, and without the cache each
+    consumer re-evaluates the upstream band join independently."""
     cand = persist_swap("verify_cand", cand)
-    a = sh_a_tab.select(
-        F.col("doc_id").alias("_ida"), F.col("sh").alias("sh_a")
+    ids = cand.select(
+        F.explode(F.array(F.col(a_key), F.col(b_key))).alias("doc_id")
+    ).distinct()
+    pre = "sh" in probe_tab.columns
+    hits = probe_tab.join(F.broadcast(ids), "doc_id").dropDuplicates(
+        ["doc_id"]
     )
-    b = sh_b_tab.select(
-        F.col("doc_id").alias("_idb"), F.col("sh").alias("sh_b")
+    # shingle post-filter: the Project sits ABOVE the broadcast join
+    # (Catalyst prunes attributes down through joins but never pushes
+    # expression evaluation below them), so the fold runs on candidate
+    # rows only
+    sh_col = (
+        F.col("sh")
+        if pre
+        else (
+            F.expr(_portable_shingle_hashes_sql("`_text`"))
+            if hash_mode == "portable"
+            else shingle_hashes(F.col("_text"))
+        )
     )
-    a_hit = a.join(F.broadcast(cand), F.col("_ida") == F.col(a_key)).drop(
-        "_ida"
+    hits = persist_swap(
+        "verify_hits", hits.select("doc_id", sh_col.alias("sh"))
     )
-    b_keys = cand.select(F.col(b_key).alias("_idb")).distinct()
-    # dropDuplicates: the incremental b side is store UNION slice, so a
-    # doc present in both contributes TWO identical (id, sh) rows and
-    # every pair would verify (and be emitted) twice. Runs on the
-    # candidate-filtered rows only — the full table still never
-    # shuffles. Same-id-different-content is caller error (doc_id is
-    # the content identity the store contract keys on).
-    b_hit = b.join(F.broadcast(b_keys), "_idb").dropDuplicates(["_idb"])
-    joined = a_hit.join(b_hit, F.col(b_key) == F.col("_idb")).drop("_idb")
+    a = hits.select(F.col("doc_id").alias("_ida"), F.col("sh").alias("sh_a"))
+    b = hits.select(F.col("doc_id").alias("_idb"), F.col("sh").alias("sh_b"))
+    joined = (
+        cand.join(a, F.col(a_key) == F.col("_ida"))
+        .join(b, F.col(b_key) == F.col("_idb"))
+        .drop("_ida", "_idb")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
@@ -707,13 +799,15 @@ def incremental_minhash_dedup(
         .agg(F.max("_stored").alias("_stored"))
     )
     sh_new = new_sigs.select("doc_id", "sh")
+    # the unified probe table must cover BOTH pair sides (slice ids and
+    # store ids) — store ∪ slice is exactly that superset
     sh_all = (
         store_sigs.select("doc_id", "sh").unionByName(sh_new)
         if store_sigs is not None
         else sh_new
     )
     dups = _jaccard_verify(
-        cand, "doc_id_new", "dup_of", sh_new, sh_all, jaccard_threshold
+        cand, "doc_id_new", "dup_of", sh_all, jaccard_threshold
     ).select(
         F.col("doc_id_new").alias("doc_id"),
         "dup_of",

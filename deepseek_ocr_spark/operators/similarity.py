@@ -17,8 +17,13 @@
   fit is SAMPLED to a bounded row count so index build cost is flat in
   corpus size.
 
-All dot products are sequential left-to-right double folds in
-whole-stage codegen (F.aggregate over zip_with) — no UDFs.
+All dot products are sequential left-to-right double folds
+(F.aggregate over zip_with) so DuckDB's list folds reproduce them
+byte-exactly. NOTE: Catalyst evaluates HOF lambda bodies interpreted,
+not in whole-stage codegen (CLAUDE.md rule 19) — where a fold is hot
+enough to dominate (d5's 8-evaluations-per-row bucket assignment) it
+runs in a numpy kernel whose cumsum reproduces the identical
+sequential rounding (see _bucket_tables_kernel).
 """
 
 from __future__ import annotations
@@ -288,7 +293,11 @@ from pyspark.sql.functions import pandas_udf as _pandas_udf
 from pyspark.sql.types import ArrayType as _ArrayType, IntegerType as _IntegerType
 
 _ARR_INT = _ArrayType(_IntegerType())
-_BUCKET_SLAB = 2048  # rows per (rows, tables*planes, dim) temp slab
+# rows per (rows, tables*planes, dim) temp slab: 1024 x 32 x 64 doubles
+# = 16.8 MB — stays under glibc's 32 MB mmap-threshold cap and lives in
+# the per-worker buffer pool (see dedup._buf: bigger temps churned
+# mmap/munmap per slab and put 32 workers at 94% SYSTEM time).
+_BUCKET_SLAB = 1024
 
 
 def _bucket_tables_kernel(n_planes: int, n_tables: int, dim: int):
@@ -332,8 +341,14 @@ def _bucket_tables_kernel(n_planes: int, n_tables: int, dim: int):
                 V = _np.empty(0)
             if V.ndim != 2 or V.shape[1] != dim:
                 raise ValueError(f"embedding width != declared dim={dim}")
-            # (rows, tables*planes): sequential fold via cumsum
-            m = _np.cumsum(V[:, None, :] * W[None, :, :], axis=2)[:, :, -1]
+            # (rows, tables*planes): sequential fold via in-place cumsum
+            # in a pooled buffer (dedup._buf — the mmap-churn fix)
+            from .dedup import _buf
+
+            t = _buf(len(chunk), total * dim, _np.float64,
+                     capacity=_BUCKET_SLAB).reshape(len(chunk), total, dim)
+            _np.multiply(V[:, None, :], W[None, :, :], out=t)
+            m = _np.cumsum(t, axis=2, out=t)[:, :, -1]
             bits = (m > 0).reshape(len(chunk), n_tables, n_planes)
             bkts = (bits * pow2).sum(axis=2).astype(_np.int32)
             for j, i in enumerate(chunk):

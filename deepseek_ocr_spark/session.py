@@ -29,6 +29,20 @@ def get_spark(
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     shuffle = shuffle_partitions or max(8, 2 * cpus)
+    # glibc malloc tunables for the PYTHON WORKERS (they inherit the
+    # JVM's env, which inherits this process's): pin the mmap threshold
+    # at its 32 MB cap and raise the trim threshold so the numpy kernel
+    # slabs (operators/dedup.py `_buf`) are served from the reused heap
+    # instead of per-call mmap/munmap — 32 workers churning big mmaps
+    # put the box at 94% system time (TLB shootdowns; same class of
+    # pathology as the JVM AlwaysPreTouch note below). On a cluster,
+    # ship these via spark.executorEnv.MALLOC_MMAP_THRESHOLD_ etc.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "33554432")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "134217728")
+    # pyarrow's bundled jemalloc/mimalloc pools decay dirty pages back
+    # to the OS (madvise/munmap churn per Arrow batch); the system pool
+    # obeys the glibc tunables above and reuses pages.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -131,14 +131,18 @@ def test_minhash_band_branch_ships_fixed_width_rows(spark):
     assert all("sh#" not in ln for ln in band_ex), band_ex
 
 
-def test_jaccard_verify_filters_both_probe_sides_broadcast(spark):
-    """The exact-Jaccard verify must filter BOTH shingle-table probe
-    sides with a broadcast of the (rare) candidate list before any wide
-    join (review r4): the old single-broadcast form sort-merge-joined
-    the FULL b-side table — on the incremental path that is the whole
-    persisted store, making probe cost scale with the store. Pinned as:
-    at least two BroadcastHashJoins in the verify plan (pair-list probe
-    on a, candidate-key filter on b)."""
+def test_jaccard_verify_single_id_broadcast_filters_probe(spark):
+    """The exact-Jaccard verify must (1) filter the probe table with a
+    broadcast of the distinct candidate IDS before any wide join — so
+    the full probe table never shuffles (on the incremental path it is
+    the whole persisted store) — and (2) build exactly ONE driver-side
+    broadcast relation in the verify section: the late-r4 two-broadcast
+    form built three hash relations over full pair rows, a ~5-6 s
+    level-independent driver section at 178k candidate pairs that
+    dominated scaling loss. Pinned as: at least one BroadcastHashJoin,
+    the candidate-doc shingle table cached (two InMemoryTableScans, one
+    per pair-join side), and no Exchange carrying the probe's text
+    column (only candidate shingles shuffle)."""
     from deepseek_ocr_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.createDataFrame(
@@ -147,7 +151,15 @@ def test_jaccard_verify_filters_both_probe_sides_broadcast(spark):
     )
     plan = _plan(minhash_lsh_pairs(docs, hash_mode="portable"))
     bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
-    assert len(bhj) >= 2, plan
+    assert len(bhj) >= 1, plan
+    imts = [ln for ln in plan.splitlines() if "InMemoryTableScan" in ln]
+    assert len(imts) >= 2, plan
+    text_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "_text" in ln
+    ]
+    assert not text_ex, text_ex
 
 
 def test_p7b_packing_single_exchange_pruned_scan(spark):
