@@ -291,17 +291,22 @@ _BIT_J = _np.arange(SIMHASH_BITS, dtype=_np.int64)
 _PACK_W = (1 << (_np.arange(SIMHASH_BITS) % (SIMHASH_BITS // SIMHASH_CHUNKS))).astype(_np.int64)
 _ROT_S = _np.arange(MINHASH_K, dtype=_np.uint64)
 _ROT_INV = (_np.uint64(64) - _ROT_S) % _np.uint64(64)
-# Slab bound for the (T, 64) temps: 2^12 hashes -> 2 MB per buffer,
-# near-L2-resident so the multi-pass in-place ufuncs don't stream DRAM
-# (16 MB slabs saturated memory bandwidth at 32 workers and capped the
-# sig-stage speedup at ~2x; 1<<10 measured no better). Buffers MUST
-# also stay under glibc's mmap-threshold cap (32 MB): bigger temps are
-# always fresh mmaps, and 32 workers churning mmap/munmap per slab is a
-# TLB-shootdown storm — measured 94% SYSTEM time at local[32] (0.4%
-# user) with 128 MB slabs, making the kernel stage SLOWER at 32 cores
-# than at 8. Buffers are pooled per worker (_buf) and written with
-# out= so steady-state slabs allocate nothing at all.
-_KERNEL_CHUNK = 1 << 12
+# Slab bound for the (T, 64) temps: 2^9 hashes -> 256 KB per buffer,
+# TRULY L2-resident. A pure-numpy 32-process microbenchmark of the
+# fast-minhash fold (tools-free, /tmp/puremb.py shape) made the cache
+# hierarchy explicit — aggregate Mhash/s at 32 procs // 8 procs:
+#   chunk   512: 56.9 // 14.6  (4x procs -> 3.9x, eff 0.97)
+#   chunk  2048: 51.2 // 14.9  (0.86)
+#   chunk  4096: 35.3 // 12.5  (0.71 — two 2 MB buffers spill to the
+#                               SHARED L3, which contends across cores)
+#   chunk 65536:  4.5 //  7.6  (DRAM-streaming; SLOWER at 32 than 8)
+# Buffers must also stay far under glibc's mmap-threshold cap (32 MB):
+# bigger temps are always fresh mmaps, and 32 workers churning
+# mmap/munmap per slab is a TLB-shootdown storm — measured 94% SYSTEM
+# time at local[32] (0.4% user) with 128 MB slabs. Buffers are pooled
+# per worker (_buf) and written with out= so steady-state slabs
+# allocate nothing at all.
+_KERNEL_CHUNK = 1 << 9
 
 _BUF: dict = {}
 
