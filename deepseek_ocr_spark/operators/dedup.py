@@ -368,8 +368,23 @@ def _fold_segments(arrs, lens, derive, ufunc, init, width):
     out = _np.full((n, width), init, dtype=_np.int64)
     i = 0
     while i < n:
+        if lens[i] > _KERNEL_CHUNK:
+            # Oversize doc (more hashes than one slab): fold it alone in
+            # capacity-sized sub-slabs. ufunc is int64 min/add —
+            # associative and exact, so sub-slab partials combine
+            # byte-identically to one reduceat — and the pooled buffers
+            # are never outgrown (_buf silently clamps past capacity,
+            # which would raise a broadcast error in derive's out=).
+            a = arrs[i]
+            acc = _np.full(width, init, dtype=_np.int64)
+            for s in range(0, int(lens[i]), _KERNEL_CHUNK):
+                part = ufunc.reduce(derive(a[s : s + _KERNEL_CHUNK]), axis=0)
+                ufunc(acc, part, out=acc)
+            out[i] = acc
+            i += 1
+            continue
         j, tot = i, 0
-        while j < n and (tot == 0 or tot + lens[j] <= _KERNEL_CHUNK):
+        while j < n and tot + lens[j] <= _KERNEL_CHUNK:
             tot += int(lens[j])
             j += 1
         if tot:
@@ -482,8 +497,22 @@ def _minhash_sig_fast_udf():
         out = _np.full((n, MINHASH_K), _LONG_MAX, dtype=_np.int64)
         i = 0
         while i < n:
+            if lens[i] > _KERNEL_CHUNK:
+                # oversize doc: sub-slab fold, exact for min (see
+                # _fold_segments)
+                a1, a2 = arrs1[i], arrs2[i]
+                acc = _np.full(MINHASH_K, _LONG_MAX, dtype=_np.int64)
+                for s in range(0, int(lens[i]), _KERNEL_CHUNK):
+                    part = _np.minimum.reduce(
+                        derive2(a1[s : s + _KERNEL_CHUNK], a2[s : s + _KERNEL_CHUNK]),
+                        axis=0,
+                    )
+                    _np.minimum(acc, part, out=acc)
+                out[i] = acc
+                i += 1
+                continue
             j, tot = i, 0
-            while j < n and (tot == 0 or tot + lens[j] <= _KERNEL_CHUNK):
+            while j < n and tot + lens[j] <= _KERNEL_CHUNK:
                 tot += int(lens[j])
                 j += 1
             if tot:

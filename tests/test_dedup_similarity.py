@@ -161,6 +161,64 @@ def test_incremental_dedup_caps_identical_doc_flood(spark):
     assert flagged == set(range(1, m))
 
 
+@pytest.mark.parametrize("mode", ["fast", "portable"])
+def test_minhash_simhash_on_oversize_docs(spark, mode):
+    """End-to-end dedup on docs LONGER than one kernel slab
+    (_KERNEL_CHUNK = 512 hashes): the signature kernels must take the
+    sub-slab fold path for such docs — the synthetic corpus never makes
+    them, so this is the only operator-level coverage. Exact dups of a
+    1,500-token doc must be found with jaccard 1.0 / hamming 0, and an
+    unrelated long doc must not pair with them."""
+    import random
+
+    from deepseek_ocr_spark.operators.dedup import (
+        jaccard_pairs_blocked,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    rnd = random.Random(11)
+    vocab = [f"word{v}" for v in range(4000)]
+    long_a = " ".join(rnd.choice(vocab) for _ in range(1500))
+    near_a = long_a.split()
+    near_a[700] = "CHANGED"
+    rows = [
+        (1, long_a),
+        (2, long_a),
+        (3, " ".join(near_a)),
+        (4, " ".join(rnd.choice(vocab) for _ in range(1500))),
+        (5, "short doc for contrast"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, hash_mode=mode
+        ).collect()
+    }
+    assert mh.get((1, 2)) == 1.0, f"exact long dup missed: {mh}"
+    assert (1, 3) in mh and (2, 3) in mh, f"near long dup missed: {mh}"
+    assert not any(4 in p or 5 in p for p in mh), f"false pair: {mh}"
+    # reported jaccard equals the exact blocked jaccard (verify stage
+    # re-shingles — independent of the kernels)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs_blocked(
+            docs.withColumn("blk", F.lit(1)), ["blk"], threshold=0.0
+        ).collect()
+    }
+    for p, j in mh.items():
+        assert abs(exact[p] - j) < 1e-6
+
+    sh = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3, hash_mode=mode).collect()
+    }
+    assert sh.get((1, 2)) == 0, f"simhash exact long dup missed: {sh}"
+    assert not any(5 in p for p in sh), f"simhash false pair: {sh}"
+
+
 def test_jaccard_blocked_accepts_string_doc_ids(spark):
     """The quadratic baseline must run on the engine's own string
     doc_id shape (schema.py contract); under ANSI mode a hard-coded

@@ -171,6 +171,11 @@ def test_signature_kernels_match_column_forms(spark):
             (5, ""),
             (6, None),
             (7, "ünïcødé ƒun tokens here and more of them"),
+            # oversize docs: more hashes than one _KERNEL_CHUNK slab
+            # (512) — exercises the sub-slab fold path, which must be
+            # byte-identical (int64 min/add are associative)
+            (8, " ".join(f"tok{i}" for i in range(1500))),
+            (9, " ".join(f"w{i % 97}" for i in range(600))),
         ],
         "doc_id long, text string",
     )
