@@ -392,9 +392,15 @@ def _fold_segments(arrs, lens, derive, ufunc, init, width):
             mat = derive(flat)
             offs = _np.zeros(j - i, dtype=_np.int64)
             _np.cumsum(lens[i:j][:-1], out=offs[1:])
-            seg = ufunc.reduceat(mat, _np.minimum(offs, tot - 1), axis=0)
-            seg[lens[i:j] == 0] = init
-            out[i:j] = seg
+            # reduceat over NON-EMPTY segments only: an empty segment's
+            # offset equals the next segment's (or tot, out of bounds,
+            # when trailing) — clamping a trailing one to tot-1 would
+            # STEAL the previous segment's last row (silent wrong fold;
+            # caught by the property fuzz). Non-empty offsets are
+            # strictly increasing and in bounds by construction; empty
+            # rows keep the pre-filled init.
+            nz = lens[i:j] > 0
+            out[i:j][nz] = ufunc.reduceat(mat, offs[nz], axis=0)
         i = j
     return out
 
@@ -521,9 +527,10 @@ def _minhash_sig_fast_udf():
                 )
                 offs = _np.zeros(j - i, dtype=_np.int64)
                 _np.cumsum(lens[i:j][:-1], out=offs[1:])
-                seg = _np.minimum.reduceat(mat, _np.minimum(offs, tot - 1), axis=0)
-                seg[lens[i:j] == 0] = _LONG_MAX
-                out[i:j] = seg
+                # non-empty offsets only — see _fold_segments (trailing
+                # empty segment must not steal the previous doc's row)
+                nz = lens[i:j] > 0
+                out[i:j][nz] = _np.minimum.reduceat(mat, offs[nz], axis=0)
             i = j
         return _pd.Series(
             [row if ok else None for row, ok in zip(list(out), valid)]

@@ -93,3 +93,81 @@ def test_oracle_pdf_page_accounting(pages_spec):
     assert m["pages_kept"] == sum(1 for _, e in pages_spec if e)
     # kept pages join with the page separator
     assert out["clean_text"].count(oracle.PAGE_SPLIT) == m["pages_kept"]
+
+
+# --- signature-kernel fold fuzz (pure numpy, no Spark) -----------------
+# The pooled-buffer folds in operators/dedup.py chunk doc batches into
+# _KERNEL_CHUNK-hash slabs and take a sub-slab path for docs longer than
+# one slab. Lengths straddling the slab boundary are the risk surface
+# (a doc past capacity used to hit _buf's silent clamp -> broadcast
+# ValueError). Fuzz variable-length batches against a naive unpooled
+# per-row reference.
+
+import numpy as np
+
+from deepseek_ocr_spark.operators import dedup as _D
+
+_LEN = st.sampled_from(
+    [0, 1, 5, _D._KERNEL_CHUNK - 1, _D._KERNEL_CHUNK, _D._KERNEL_CHUNK + 1,
+     2 * _D._KERNEL_CHUNK, 2 * _D._KERNEL_CHUNK + 7, 3 * _D._KERNEL_CHUNK - 1]
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(_LEN, st.integers(0, 2**31)), min_size=1, max_size=6))
+def test_fold_segments_matches_naive_reference(specs):
+    arrs = [
+        np.random.RandomState(seed % 2**31).randint(
+            0, 1 << 28, size=n
+        ).astype(np.int64)
+        for n, seed in specs
+    ]
+    lens = np.asarray([len(a) for a in arrs], dtype=np.int64)
+
+    def derive(flat):
+        t = _D._buf(len(flat), _D.MINHASH_K, np.int64)
+        np.multiply(flat[:, None], _D._MH_A_V, out=t)
+        t += _D._MH_B_V
+        t %= _D.MH_PRIME
+        return t
+
+    got = _D._fold_segments(
+        arrs, lens, derive, np.minimum, _D.MH_PRIME, _D.MINHASH_K
+    )
+    for k, a in enumerate(arrs):
+        if len(a) == 0:
+            ref = np.full(_D.MINHASH_K, _D.MH_PRIME, dtype=np.int64)
+        else:
+            ref = np.minimum.reduce(
+                (a[:, None] * _D._MH_A_V + _D._MH_B_V) % _D.MH_PRIME, axis=0
+            )
+        assert np.array_equal(got[k], ref), (k, len(a))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(_LEN, st.integers(0, 2**31)), min_size=1, max_size=6))
+def test_simhash_fold_matches_naive_reference(specs):
+    arrs = [
+        np.random.RandomState(seed % 2**31).randint(
+            -(1 << 62), 1 << 62, size=n
+        ).astype(np.int64)
+        for n, seed in specs
+    ]
+    lens = np.asarray([len(a) for a in arrs], dtype=np.int64)
+
+    def derive(flat):
+        t = _D._buf(len(flat), _D.SIMHASH_BITS, np.int64)
+        np.right_shift(flat[:, None], _D._BIT_J, out=t)
+        t &= 1
+        t *= 2
+        t -= 1
+        return t
+
+    got = _D._fold_segments(arrs, lens, derive, np.add, 0, _D.SIMHASH_BITS)
+    for k, a in enumerate(arrs):
+        ref = (
+            np.zeros(_D.SIMHASH_BITS, dtype=np.int64)
+            if len(a) == 0
+            else np.add.reduce(((a[:, None] >> _D._BIT_J) & 1) * 2 - 1, axis=0)
+        )
+        assert np.array_equal(got[k], ref), (k, len(a))

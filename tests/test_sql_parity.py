@@ -176,6 +176,12 @@ def test_signature_kernels_match_column_forms(spark):
             # byte-identical (int64 min/add are associative)
             (8, " ".join(f"tok{i}" for i in range(1500))),
             (9, " ".join(f"w{i % 97}" for i in range(600))),
+            # TRAILING empty/NULL docs: a trailing zero-hash segment in
+            # a slab group used to steal the previous doc's last hash
+            # row via the reduceat offset clamp (silent wrong signature
+            # for doc 9; found by the property fuzz)
+            (10, ""),
+            (11, None),
         ],
         "doc_id long, text string",
     )
