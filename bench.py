@@ -54,6 +54,7 @@ HEADLINE = [
     "d3_minhash_lsh",
     "d4_simhash",
     "d5_embedding_dup",
+    "d6_dup_clusters",
     "f1_ngram_ban",
     "b2_main_content",
     "l2_font_runs",

@@ -1034,3 +1034,116 @@ def jaccard_pairs_blocked(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --- duplicate-cluster collapse (connected components) ----------------------
+# Pair operators (d2/d3/d4/d5) emit EDGES; production dedup keeps one
+# doc per TRANSITIVE cluster (A~B, B~C ⇒ {A,B,C} even when A~C is below
+# threshold). That closure is connected components — the final stage of
+# every at-scale fuzzy-dedup pipeline (the reference has no corpus
+# layer; this is part of the training-data surface the engine adds).
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(doc_id, cluster_id)``
+    with ``cluster_id`` = min doc id in the component (deterministic,
+    algorithm-independent). Only docs that appear in at least one pair
+    are emitted; singletons are implicitly their own cluster.
+
+    Algorithm: iterative min-label propagation with pointer doubling
+    (the "hash-to-min" scheme of Rastogi et al., Finding Connected
+    Components in Map-Reduce; GraphX's CC is the same fixpoint). Each
+    iteration is (a) a neighbor-min pass — one equi-join of the edge
+    list with the label table plus a min-aggregate, and (b) a pointer
+    jump — label(v) := label(label(v)) as a label-table self-join —
+    giving O(log diameter) convergence instead of O(diameter). The
+    driver loop carries only a converged? boolean per iteration (the
+    standard Spark shape for iterative graph algorithms); per-iteration
+    state is localCheckpoint'ed so lineage stays O(1) and re-evaluation
+    bombs (CLAUDE.md rule 17) are impossible.
+
+    100 TB shape: shuffle volume per iteration is O(|edges| + |nodes in
+    pairs|) — the VERIFIED pair list, orders of magnitude smaller than
+    the corpus, never document bodies. Labels only ever decrease, so
+    convergence is monotone; ``max_iter`` is a safety bound (2^max_iter
+    ≥ any real diameter) and is raised on, never silently truncated.
+    Ids keep their input type (string ids legal engine-wide; min on
+    strings is lexicographic, still deterministic).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = (
+        edges.select(F.col("src").alias("id"), F.col("src").alias("lab"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # (a) neighbor-min: each node adopts the smallest label seen on
+        # itself or any neighbor.
+        nbr = edges.join(lab, edges["src"] == lab["id"]).select(
+            edges["dst"].alias("id"), F.col("lab")
+        )
+        lab1 = lab.union(nbr).groupBy("id").agg(F.min("lab").alias("lab"))
+        # (b) pointer doubling: jump through the label's own label.
+        # Renamed-column self-join (plan aliases on a shared grouped
+        # lineage fail attribute resolution in Spark 4).
+        jump = lab1.select(F.col("id").alias("jid"), F.col("lab").alias("jlab"))
+        lab2 = (
+            lab1.join(jump, lab1["lab"] == jump["jid"], "left")
+            .select(
+                lab1["id"].alias("id"),
+                F.least(
+                    lab1["lab"], F.coalesce(jump["jlab"], lab1["lab"])
+                ).alias("lab"),
+            )
+            .localCheckpoint()  # eager: materialize BEFORE probing convergence
+        )
+        converged = (
+            lab2.join(lab, "id")
+            .filter(lab2["lab"] != lab["lab"])
+            .isEmpty()
+        )
+        lab = lab2
+        if converged:
+            return lab.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))
+    raise ValueError(
+        f"dup_clusters did not converge in {max_iter} iterations — "
+        "pointer doubling converges in O(log diameter), so this means a "
+        "pathological graph or a bug; raise max_iter explicitly if the "
+        "former."
+    )
+
+
+def collapse_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Keep one canonical doc per duplicate cluster: docs ∪ cluster map
+    → ``kept`` = (not in any pair) OR (the cluster's min id). Left-join
+    on the (small) cluster table — broadcastable when the verified pair
+    set is, which at real dup rates it is."""
+    clusters = dup_clusters(pairs, a_col=a_col, b_col=b_col)
+    return (
+        docs.join(
+            clusters.withColumnRenamed("doc_id", id_col),
+            on=id_col,
+            how="left",
+        )
+        .withColumn(
+            "kept",
+            F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id")),
+        )
+    )

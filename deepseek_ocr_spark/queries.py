@@ -525,6 +525,46 @@ FROM raw_docs
 """
 
 
+def x3_det_parse_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+X4 merged registry entry (same doc grain; the 50-entry cap of
+    rule 16 — merged round 4 to free a slot for d6_dup_clusters): safe
+    det-payload parse check PLUS first-box 0–999→pixel rescale in one
+    projection. x3/x4 remain as standalone library functions + SQL,
+    covered through this superset. Sort-key note (scan_null_ties):
+    doc_id is unique, so the nullable px/py columns never decide a tie."""
+    df = _raw(spark, sf_dir)
+    dets = F.regexp_extract_all("raw", F.lit(REF_PAT), 2)
+    bad = F.filter(dets, lambda d: ~d.rlike(DET_OK_PAT))
+
+    def px(g: int, dim: int):
+        v = F.nullif(F.regexp_extract("raw", _BOX_PAT, g), F.lit("")).cast("bigint")
+        return F.floor(v / 999 * dim).cast("bigint")
+
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(dets).cast("bigint").alias("n_det"),
+        F.size(bad).cast("bigint").alias("parse_failures"),
+        px(1, 1280).alias("px1"),
+        px(2, 1810).alias("py1"),
+        px(3, 1280).alias("px2"),
+        px(4, 1810).alias("py2"),
+    )
+
+
+SQL_X3B = f"""
+WITH {RAW_DOCS_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(regexp_extract_all(raw, '{REF_PAT}', 2)) AS BIGINT) AS n_det,
+  CAST(len(list_filter(regexp_extract_all(raw, '{REF_PAT}', 2),
+       d -> NOT regexp_matches(d, '{DET_OK_PAT}'))) AS BIGINT) AS parse_failures,
+  CAST(FLOOR(CAST(NULLIF(regexp_extract(raw, '{_BOX_PAT}', 1), '') AS BIGINT) / 999.0 * 1280) AS BIGINT) AS px1,
+  CAST(FLOOR(CAST(NULLIF(regexp_extract(raw, '{_BOX_PAT}', 2), '') AS BIGINT) / 999.0 * 1810) AS BIGINT) AS py1,
+  CAST(FLOOR(CAST(NULLIF(regexp_extract(raw, '{_BOX_PAT}', 3), '') AS BIGINT) / 999.0 * 1280) AS BIGINT) AS px2,
+  CAST(FLOOR(CAST(NULLIF(regexp_extract(raw, '{_BOX_PAT}', 4), '') AS BIGINT) / 999.0 * 1810) AS BIGINT) AS py2
+FROM raw_docs
+"""
+
+
 def x5_media_ref_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: media spans numbered in match order per document →
     deterministic media_ref (run_dpsk_ocr_pdf.py:183-190,310-311).
@@ -1784,7 +1824,11 @@ dtoks AS (
 """
 
 
-def _sql_d3() -> str:
+def _sql_minhash_pairs(corpus_cte: str) -> str:
+    """Full portable MinHash-LSH pair pipeline as one DuckDB query,
+    parameterized by the corpus CTE (must define ``dup_docs(doc_id,
+    text)`` and ``dtoks``). Shared by d3 (P1-planted corpus) and d6
+    (chain-planted corpus → cluster closure on top)."""
     from .operators.dedup import (
         BAND_M,
         LSH_BANDS,
@@ -1812,7 +1856,7 @@ def _sql_d3() -> str:
         for b in range(LSH_BANDS)
     )
     return rf"""
-WITH {_DUP_DOCS_CTE.strip().rstrip()},
+WITH {corpus_cte.strip().rstrip()},
 sh AS (
   SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
   FROM (
@@ -1863,6 +1907,102 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE ROUND(CAST(i.n_common AS DOUBLE) /
             CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6) >= 0.5
+"""
+
+
+def _sql_d3() -> str:
+    return _sql_minhash_pairs(_DUP_DOCS_CTE)
+
+
+# Chain-planted corpus for the cluster-collapse query: every 10th doc
+# gets TWO perturbed copies — P1 (head token replaced) and P2 (= P1 plus
+# an appended tail token). P1~orig and P2~P1 are near-dups; the closure
+# must put {orig, P1, P2} in ONE cluster even where an individual edge
+# is missed — the transitive semantics d6 exists to pin.
+_DUP_CHAIN_CTE = r"""
+dup_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'PERTURBED' || substr(text, strpos(text, ' ')) AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         'PERTURBED' || substr(text, strpos(text, ' ')) || ' TAILTOKEN' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+dtoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS ord
+  FROM dup_docs
+)
+"""
+
+
+def _docs_with_planted_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of _DUP_CHAIN_CTE (byte-identical perturbations)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    p1_text = F.concat(
+        F.lit("PERTURBED"), F.expr("substring(text, locate(' ', text))")
+    )
+    p1 = tenth.select((F.col("doc_id") + 1_000_000).alias("doc_id"), p1_text.alias("text"))
+    p2 = tenth.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(p1_text, F.lit(" TAILTOKEN")).alias("text"),
+    )
+    return docs.unionByName(p1).unionByName(p2)
+
+
+def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster collapse — the final stage of production fuzzy
+    dedup: verified MinHash-LSH pairs (d3 machinery, portable hash mode)
+    → connected components (iterative min-label propagation + pointer
+    doubling, operators/dedup.py:dup_clusters) → one canonical doc per
+    TRANSITIVE cluster. Oracle: same pair SQL + a recursive CTE closure.
+    Output grain: one row per clustered doc (singletons implicit)."""
+    from .operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _docs_with_planted_chain(spark, sf_dir),
+        jaccard_threshold=0.5,
+        hash_mode="portable",
+    )
+    cl = dup_clusters(pairs)
+    w = Window.partitionBy("cluster_id")
+    return cl.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def _sql_d6() -> str:
+    pairs_sql = _sql_minhash_pairs(_DUP_CHAIN_CTE)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pairs_sql})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+lab AS (
+  SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(cluster_id AS BIGINT) AS cluster_id,
+  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+  doc_id = cluster_id AS is_canonical
+FROM lab
 """
 
 
@@ -3243,8 +3383,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_salted_event_agg": (q_salted_event_agg, SQL_EVENT_AGG),
     "x1_grounding_scan": (x1_grounding_scan, SQL_X1),
     "x2_span_classify": (x2_span_classify, SQL_X2),
-    "x3_det_parse_check": (x3_det_parse_check, SQL_X3),
-    "x4_coord_rescale": (x4_coord_rescale, SQL_X4),
+    "x3_det_parse_rescale": (x3_det_parse_rescale, SQL_X3B),
     "x5b_media_ref_multipage": (x5b_media_ref_multipage, SQL_X5B),
     "x6_clean_rewrite": (x6_clean_rewrite, SQL_X6),
     "f1_ngram_ban": (f1_ngram_ban, SQL_F1),
@@ -3269,6 +3408,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d3_minhash_lsh": (d3_minhash_lsh, _sql_d3()),
     "d4_simhash": (d4_simhash, _sql_d4()),
     "d5_embedding_dup": (d5_embedding_dup, _sql_d5()),
+    "d6_dup_clusters": (d6_dup_clusters, _sql_d6()),
     "s1_knn_bruteforce": (s1_knn_bruteforce, SQL_S1),
     "s2_knn_lsh": (s2_knn_lsh, _sql_s2()),
     "s3_knn_ivf": (s3_knn_ivf, _sql_s3()),
