@@ -243,6 +243,68 @@ def run_dedup_job(
         docs.unpersist()
 
 
+def run_cluster_job(spark: SparkSession, store_dir: str) -> dict:
+    """Consolidate a dedup store's dup log into transitive duplicate
+    clusters (CLI ``--job cluster``). The log written by
+    ``run_dedup_job`` is an edge list ``(doc_id, dup_of)``; slices
+    decided independently can merge clusters only transitively — e.g.
+    stored docs A and B each individually below threshold, then a later
+    doc C matches both: the log alone says "C dups A" and "C dups B",
+    the closure says {A, B, C} are ONE cluster. Production stores run
+    exactly this consolidation pass periodically (the pair log is
+    orders of magnitude smaller than the corpus, so recomputing the
+    closure each time beats maintaining incremental components).
+
+    Writes ``{store_dir}/clusters`` = (doc_id, cluster_id,
+    cluster_size, is_canonical) — a derived snapshot, overwritten each
+    run. ``is_canonical`` is min-id within the cluster, a *view-level*
+    tag: store acceptance stays first-come (the signature table is
+    untouched). Rule-17 safe: the cluster rows are localCheckpoint'ed
+    inside dup_clusters before this job writes to a DIFFERENT path."""
+    from pyspark.errors import AnalysisException
+
+    from .operators.dedup import dup_clusters
+
+    dups_path = f"{store_dir}/dups"
+    clusters_path = f"{store_dir}/clusters"
+    try:
+        dups = spark.read.parquet(dups_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return {"edges": 0, "docs_clustered": 0, "clusters": 0}
+        raise
+    edges = dups.select("doc_id", "dup_of").distinct().persist()
+    try:
+        n_edges = edges.count()
+        from pyspark.sql import Window
+
+        cl = dup_clusters(edges, a_col="doc_id", b_col="dup_of")
+        # window count, not collect_list: a pathological giant cluster
+        # must not materialize as one array row in one task
+        w = Window.partitionBy("cluster_id")
+        out = cl.select(
+            "doc_id",
+            "cluster_id",
+            F.count("*").over(w).cast("bigint").alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        ).localCheckpoint()
+        out.write.mode("overwrite").parquet(clusters_path)
+        spark.catalog.refreshByPath(clusters_path)
+        stats = out.agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.max("cluster_size").alias("max_size"),
+        ).collect()[0]
+        return {
+            "edges": n_edges,
+            "docs_clustered": stats["n_docs"],
+            "clusters": stats["n_clusters"],
+            "max_cluster_size": stats["max_size"],
+        }
+    finally:
+        edges.unpersist()
+
+
 def locate_job(
     spark: SparkSession, input_path: str, label: str
 ) -> DataFrame:

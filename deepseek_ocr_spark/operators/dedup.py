@@ -1082,9 +1082,18 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Seed labels with the first neighbor-min pass for free: one
+    # aggregation over the edge list (both endpoints are in `src` —
+    # edges are symmetric), no join. Star/triangle/pair clusters — the
+    # overwhelmingly common dup topologies — converge AT the seed, so
+    # the loop's only work is the confirming no-change iteration.
     lab = (
-        edges.select(F.col("src").alias("id"), F.col("src").alias("lab"))
-        .distinct()
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_mn")).alias("lab"),
+        )
         .localCheckpoint()
     )
     for _ in range(max_iter):

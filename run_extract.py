@@ -2,8 +2,10 @@
 
     spark-submit --py-files dist/deepseek_ocr_spark.zip run_extract.py \
         --input <documents-or-pages parquet> --output <dir> \
-        --job spans|pages|locate|dedup [--label title] [--no-resume] \
-        [--partitions N]   (--output is the signature-store dir for dedup)
+        --job spans|pages|locate|dedup|cluster [--label title] [--no-resume] \
+        [--partitions N]   (--output is the signature-store dir for
+        dedup/cluster; cluster consolidates the store's dup log into
+        transitive duplicate clusters and ignores --input)
 
 Local run: python run_extract.py --input ... --output ... --job spans
 """
@@ -17,10 +19,12 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", required=False)
     ap.add_argument("--output", required=False)
     ap.add_argument(
-        "--job", choices=["spans", "pages", "locate", "dedup"], default="spans"
+        "--job",
+        choices=["spans", "pages", "locate", "dedup", "cluster"],
+        default="spans",
     )
     ap.add_argument("--label", default="title", help="span kind for --job locate")
     ap.add_argument("--no-resume", action="store_true")
@@ -28,6 +32,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.partitions is not None and args.job != "spans":
         ap.error("--partitions only applies to --job spans")
+    if args.job != "cluster" and not args.input:
+        ap.error(f"--input required for --job {args.job}")
 
     from deepseek_ocr_spark import jobs
     from deepseek_ocr_spark.session import get_spark
@@ -53,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
         if not args.output:
             ap.error("--output (the signature-store dir) required for --job dedup")
         print(json.dumps(jobs.run_dedup_job(spark, args.input, args.output)))
+    elif args.job == "cluster":
+        if not args.output:
+            ap.error("--output (the signature-store dir) required for --job cluster")
+        print(json.dumps(jobs.run_cluster_job(spark, args.output)))
     else:
         out = jobs.locate_job(spark, args.input, args.label)
         for r in out.limit(20).collect():

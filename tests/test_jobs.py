@@ -114,3 +114,63 @@ def test_locate_job(spark):
         assert all(r["kind"] == "title" for r in hits)
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
+
+
+def test_cluster_job_transitive_store_consolidation(spark):
+    """The dup log is an edge list; slices decided independently can
+    merge clusters only transitively. A (doc 1) and B (doc 2) are both
+    accepted (their direct jaccard is below threshold); a later doc C
+    matches BOTH — the cluster job must put {1, 2, C} in ONE cluster.
+    An unrelated exact-dup pair {3, 11} stays its own cluster."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="cluster_job_")
+    try:
+        A = " ".join(f"alpha{i}" for i in range(12))
+        B = (
+            " ".join(f"alpha{i}" for i in range(6, 12))
+            + " "
+            + " ".join(f"beta{i}" for i in range(6))
+        )
+        C = A + " " + " ".join(f"beta{i}" for i in range(6))
+        D = " ".join(f"gamma{i}" for i in range(12))
+        spark.createDataFrame(
+            [(1, A), (2, B), (3, D)], "doc_id long, text string"
+        ).write.parquet(f"{base}/in1")
+        spark.createDataFrame(
+            [(10, C), (11, D)], "doc_id long, text string"
+        ).write.parquet(f"{base}/in2")
+        s1 = jobs.run_dedup_job(spark, f"{base}/in1", f"{base}/store")
+        assert s1["dups_found"] == 0 and s1["accepted"] == 3  # A !~ B directly
+        s2 = jobs.run_dedup_job(spark, f"{base}/in2", f"{base}/store")
+        assert s2["dups_found"] == 2
+        stats = jobs.run_cluster_job(spark, f"{base}/store")
+        assert stats == {
+            "edges": 3,
+            "docs_clustered": 5,
+            "clusters": 2,
+            "max_cluster_size": 3,
+        }
+        rows = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+            for r in spark.read.parquet(f"{base}/store/clusters").collect()
+        }
+        assert rows == {
+            1: (1, 3, True),
+            2: (1, 3, False),
+            10: (1, 3, False),
+            3: (3, 2, True),
+            11: (3, 2, False),
+        }
+        # consolidation is a derived snapshot: re-running is idempotent
+        assert jobs.run_cluster_job(spark, f"{base}/store") == stats
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cluster_job_missing_store_is_empty(spark):
+    import tempfile
+
+    stats = jobs.run_cluster_job(spark, tempfile.mkdtemp(prefix="empty_store_"))
+    assert stats == {"edges": 0, "docs_clustered": 0, "clusters": 0}
