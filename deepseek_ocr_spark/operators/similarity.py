@@ -1071,3 +1071,54 @@ def embedding_dup_scan_stats(
         [(n_cand, total, round(n_cand / max(total, 1), 4))],
         "n_candidates long, n_exhaustive long, scan_fraction double",
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup
+    by k-means blocking: fit a coarse quantizer, compare vectors only
+    WITHIN their cell, treat cosine ≥ threshold as a duplicate edge,
+    and keep one canonical representative per TRANSITIVE duplicate
+    cluster. Differs from embedding_dup_pairs' hyperplane blocking in
+    that the blocks are data-adaptive (learned cells follow the
+    embedding density instead of slicing it with fixed random planes),
+    which is the published method's point; and from d5/d6 in returning
+    the collapsed keep/drop decision, not just pairs.
+
+    Pure composition of existing audited stages: ivf_fit_centroids
+    (sampled k-means, flat fit cost) → ivf_index (literal-centroid
+    assignment, no exchange) → embedding_dup_pairs(block_col=cell,
+    exact within-block cosine) → dedup.collapse_duplicates (connected
+    components + canonical keep).
+
+    100 TB shape: within-cell comparison is quadratic in cell size, so
+    ``n_cells`` must GROW with the corpus (the paper runs ~100k clusters
+    on LAION); target |corpus|/n_cells small enough that a cell's pair
+    fan-out fits a task. Pass a precomputed ``centroids`` list to reuse
+    a persisted quantizer (centroids_from_df) across incremental runs.
+
+    Returns ``vectors``' rows + (cluster_id, kept): kept=false exactly
+    for non-canonical members of a duplicate cluster; cluster_id is
+    NULL for vectors with no duplicate."""
+    from .dedup import collapse_duplicates
+
+    if centroids is None:
+        centroids = ivf_fit_centroids(vectors, n_cells, seed, vec_col)
+    idx = ivf_index(vectors, centroids, id_col, vec_col)
+    pairs = embedding_dup_pairs(
+        idx,
+        threshold=threshold,
+        block_col="cell",
+        id_col="neighbor_id",
+        vec_col="vec",
+    )
+    return collapse_duplicates(
+        vectors, pairs, id_col=id_col, a_col="vec_a", b_col="vec_b"
+    )

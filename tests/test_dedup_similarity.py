@@ -742,3 +742,65 @@ def test_cosine_topk_guards_full_scan(spark):
     assert (
         S.cosine_topk(big.limit(10), q, k=1, allow_full_scan=True).count() > 0
     )
+
+
+def test_semantic_dedup_transitive_collapse(spark):
+    """SemDeDup: within-cell cosine edges (a~b 0.995, b~c 0.995, but
+    a~c 0.980 < threshold) must still collapse {a,b,c} into one kept
+    canonical (transitive closure); unrelated vectors in another cell
+    are all kept with NULL cluster_id."""
+    import math
+
+    from deepseek_ocr_spark.operators.similarity import semantic_dedup
+
+    th = 0.1
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [math.cos(th), math.sin(th), 0.0, 0.0]),
+        (3, [math.cos(2 * th), math.sin(2 * th), 0.0, 0.0]),
+        (4, [2.0, 0.0, 0.0, 0.0]),  # scalar multiple of 1 -> cosine 1.0
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        vecs,
+        threshold=0.99,
+        centroids=[[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.5, 0.5]],
+    )
+    got = {r["vec_id"]: (r["cluster_id"], r["kept"]) for r in out.collect()}
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (1, False),
+        10: (None, True),
+        11: (None, True),
+    }
+
+
+def test_semantic_dedup_fitted_quantizer_smoke(spark):
+    """k-means path: planted exact-duplicate vectors collapse; count of
+    kept rows = distinct directions (no cross-cell false merges on a
+    well-separated synthetic corpus)."""
+    import random
+
+    from deepseek_ocr_spark.operators.similarity import semantic_dedup
+
+    rnd = random.Random(5)
+    rows = []
+    for i in range(40):
+        base = [rnd.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 4 == 0:
+            rows.append((1000 + i, [2.0 * x for x in base]))  # cosine 1.0
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(vecs, threshold=0.999, n_cells=4, seed=7).collect()
+    kept = [r for r in out if r["kept"]]
+    dropped = [r for r in out if not r["kept"]]
+    # every planted multiple must be dropped in favor of its base
+    # (same direction -> same cell, cosine exactly 1.0)
+    assert {r["vec_id"] for r in dropped} == {1000 + i for i in range(0, 40, 4)}
+    assert len(kept) == 40
+    for r in dropped:
+        assert r["cluster_id"] == r["vec_id"] - 1000
