@@ -45,6 +45,10 @@ def main() -> None:
         "P1/P4 GRID FOLD (zero shuffle)": Q.p4_pad_token_layout(spark, SF_DIR),
         "S7 ANNOTATION DRAW PLAN": Q.s7_annotation_plan(spark, SF_DIR),
         "S8 GEOMETRY ELEMENTS": Q.s8_geometry_plot(spark, SF_DIR),
+        # d6 runs its fixpoint iterations eagerly at construction; the
+        # printed plan is the final window over the localCheckpoint'ed
+        # label table (per-iteration shapes are documented in PLANS.md)
+        "D6 DUP CLUSTERS (post-closure)": Q.d6_dup_clusters(spark, SF_DIR),
     }
     for name, df in sections.items():
         print("=" * 30, name)
