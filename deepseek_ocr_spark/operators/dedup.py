@@ -1098,11 +1098,26 @@ def dup_clusters(
     )
     for _ in range(max_iter):
         # (a) neighbor-min: each node adopts the smallest label seen on
-        # itself or any neighbor.
+        # itself or any neighbor. The self rows carry the PREVIOUS label
+        # through the aggregate (max over one non-null `old` per group),
+        # so convergence below is a filter on the materialized result —
+        # no third label⋈label probe join per iteration.
         nbr = edges.join(lab, edges["src"] == lab["id"]).select(
-            edges["dst"].alias("id"), F.col("lab")
+            edges["dst"].alias("id"),
+            F.col("lab"),
+            F.lit(None).cast(lab.schema["lab"].dataType).alias("old"),
         )
-        lab1 = lab.union(nbr).groupBy("id").agg(F.min("lab").alias("lab"))
+        slf = lab.select("id", "lab", F.col("lab").alias("old"))
+        lab1 = (
+            slf.union(nbr)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"), F.max("old").alias("old"))
+        )
+        # lab1 feeds both sides of the jump self-join and so computes
+        # twice; measured (1M-edge graph AND sf0.1) that is CHEAPER than
+        # localCheckpoint'ing it — the extra materialization job costs
+        # more than the recompute at these scales. Revisit on a real
+        # cluster where exchange reuse changes the math.
         # (b) pointer doubling: jump through the label's own label.
         # Renamed-column self-join (plan aliases on a shared grouped
         # lineage fail attribute resolution in Spark 4).
@@ -1114,15 +1129,15 @@ def dup_clusters(
                 F.least(
                     lab1["lab"], F.coalesce(jump["jlab"], lab1["lab"])
                 ).alias("lab"),
+                lab1["old"].alias("old"),
             )
             .localCheckpoint()  # eager: materialize BEFORE probing convergence
         )
-        converged = (
-            lab2.join(lab, "id")
-            .filter(lab2["lab"] != lab["lab"])
-            .isEmpty()
-        )
-        lab = lab2
+        # labels only ever decrease, so "changed" ⟺ lab < old; the scan
+        # reads the checkpoint partitions just written, no join, and
+        # short-circuits on the first changed row.
+        converged = lab2.filter(F.col("lab") < F.col("old")).isEmpty()
+        lab = lab2.select("id", "lab")
         if converged:
             return lab.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id"))
     raise ValueError(
