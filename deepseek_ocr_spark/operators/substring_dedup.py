@@ -1,0 +1,214 @@
+"""Cross-document EXACT-SUBSTRING deduplication — the ExactSubstr
+family of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+Models Better", §4.1; reference tool
+github.com/google-research/deduplicate-text-datasets): any n-token
+window that occurs at two or more (doc, position) sites in the corpus
+is a duplicated passage; all sites except the globally first are
+flagged, and the flagged token intervals can be cut out of the text.
+Complements the DOC-level families already in the engine (exact d1,
+near d2–d4, semantic d5/semantic_dedup, transitive d6): a boilerplate
+license header shared by thousands of otherwise-distinct documents is
+invisible to doc-level dedup and is exactly what this operator removes.
+
+Relational shape (the suffix array of the published tool re-expressed
+for Spark):
+
+1. tokenize + per-token xxhash64 — JVM column expressions, narrow;
+2. n-token rolling POLYNOMIAL hash per window — a vectorized numpy
+   kernel over the int64 hash arrays (Arrow batch in/out, top-level map
+   stage per CLAUDE.md rule 1/19). H_i = Σ_{j=i}^{i+n-1} h_j·B^{i+n-1-j}
+   (mod 2^64) computed from ONE wraparound cumsum of h_j·B^{-j}:
+   H_i = (S_{i+n} − S_i)·B^{n-1+i} — O(len) per doc, order-sensitive
+   (unlike a window SUM, anagram windows do not collide);
+3. duplicate detection — groupBy(window_hash) with an AGGREGATE
+   min(struct(doc, pos)) picking the canonical site (no window over the
+   hash key: a passage repeated millions of times would make a
+   pathological window partition, the f1 lesson);
+4. per-doc interval merge of overlapping flagged windows — lag window
+   keyed by doc (fixed-length intervals sorted by start: new island ⟺
+   start > prev_start + n − 1);
+5. optional text suppression — array-local JVM rebuild.
+
+Exactness: equality is on a 64-bit order-sensitive hash, so two
+DIFFERENT n-token windows collide with probability ~2⁻⁶⁴ (corpus-level
+false-flag expectation ~W²/2⁶⁵ for W windows — negligible below ~10¹²
+windows; the published tool pays a suffix array for literal equality).
+Tokens are whitespace tokens of lower(text), consistent with the
+engine's other token operators (the reference tool uses BPE ids; the
+pipeline shape is identical).
+
+100 TB: the only wide operation is the groupBy on the 64-bit window
+hash — shuffle rows are (doc, pos, hash), fixed width, one per token,
+never text. The kernel is a narrow pre-shuffle map. Interval merge
+shuffles only FLAGGED windows keyed by doc.
+"""
+
+from __future__ import annotations
+
+import numpy as _np
+import pandas as _pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+# odd multiplier (2^64 golden ratio | 1) — odd ⟺ invertible mod 2^64
+_B = 0x9E3779B97F4A7C15 | 1
+_BINV = pow(_B, -1, 2**64)
+
+
+def token_hashes(text) -> "F.Column":
+    """Per-token xxhash64 array of lower(text) whitespace tokens (JVM,
+    codegen). NULL text hashes as no tokens."""
+    toks = F.split(F.lower(F.coalesce(text, F.lit(""))), r"\s+")
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def _rolling_kernel(n: int):
+    """array<bigint> token hashes → array<bigint> of the L−n+1 window
+    hashes (empty when L < n). Per-row numpy (this is a narrow one-pass
+    map, not the 64-lane fold hot path that needed slab pooling —
+    CLAUDE.md 19b); all arithmetic is uint64 wraparound (mod 2^64), and
+    np.cumsum is strictly sequential so results are bit-stable."""
+
+    @_pandas_udf("array<bigint>")
+    def kernel(hs: _pd.Series) -> _pd.Series:
+        # powers are reused across rows; sized to the batch max
+        max_len = 0
+        rows = []
+        for x in hs:
+            if x is None:
+                rows.append(None)
+                continue
+            a = _np.asarray(x)
+            if a.dtype != _np.int64:  # Arrow nulls arrive as float64+NaN
+                if _np.isnan(a).any():
+                    raise ValueError("NULL token hash in window kernel input")
+                a = a.astype(_np.int64)
+            rows.append(a)
+            max_len = max(max_len, len(a))
+        pow_b = _np.empty(max_len + 1, dtype=_np.uint64)
+        pow_binv = _np.empty(max_len + 1, dtype=_np.uint64)
+        pow_b[0] = 1
+        pow_binv[0] = 1
+        b = _np.uint64(_B)
+        binv = _np.uint64(_BINV)
+        for i in range(1, max_len + 1):
+            pow_b[i] = pow_b[i - 1] * b
+            pow_binv[i] = pow_binv[i - 1] * binv
+        out = []
+        for a in rows:
+            if a is None or len(a) < n:
+                out.append([] if a is not None else None)
+                continue
+            u = a.view(_np.uint64)
+            ln = len(u)
+            # S_i = Σ_{j<i} h_j·B^{-j}  (wraparound prefix)
+            s = _np.zeros(ln + 1, dtype=_np.uint64)
+            _np.cumsum(u * pow_binv[:ln], out=s[1:])
+            # H_i = (S_{i+n} − S_i) · B^{n-1+i}
+            h = (s[n:] - s[: ln - n + 1]) * pow_b[n - 1 : ln]
+            out.append(h.view(_np.int64))
+        return _pd.Series(out)
+
+    return kernel
+
+
+_KERNELS: dict[int, object] = {}
+
+
+def _kernel(n: int):
+    if n not in _KERNELS:
+        _KERNELS[n] = _rolling_kernel(n)
+    return _KERNELS[n]
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Flag duplicated n-token passages: returns one row per doc per
+    MERGED token interval covered by windows whose hash occurs at ≥2
+    (doc, position) sites — ``(doc_id, start_ord, end_ord)``, 0-based
+    inclusive token ordinals. ``keep_first=True`` (the published
+    semantics) exempts the globally first site of each window,
+    deterministically min(struct(doc, pos)); ``keep_first=False`` flags
+    every site (useful for "drop the boilerplate everywhere")."""
+    if n < 2:
+        raise ValueError(f"n must be ≥ 2 (got {n}) — a 1-token window is d1")
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _kernel(n)(token_hashes(F.col(text_col))).alias("_wh"),
+    )
+    # kernel output consumed as-is by posexplode (rule 1: top-level map)
+    wins = hashed.select(
+        "doc_id", F.posexplode("_wh").alias("ord", "hv")
+    )
+    sites = wins.groupBy("hv").agg(
+        F.count("*").alias("_c"),
+        F.min(F.struct("doc_id", "ord")).alias("_first"),
+    )
+    dup_sites = sites.filter(F.col("_c") > 1)
+    flagged = wins.join(dup_sites, on="hv")
+    if keep_first:
+        flagged = flagged.filter(
+            (F.col("doc_id") != F.col("_first.doc_id"))
+            | (F.col("ord") != F.col("_first.ord"))
+        )
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    islands = flagged.select("doc_id", "ord").withColumn(
+        "_new",
+        F.when(
+            F.col("ord") > F.lag("ord").over(w) + (n - 1), 1
+        ).otherwise(F.when(F.lag("ord").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("doc_id", "_island").agg(
+        F.min("ord").cast("bigint").alias("start_ord"),
+        (F.max("ord") + (n - 1)).cast("bigint").alias("end_ord"),
+    ).select("doc_id", "start_ord", "end_ord")
+
+
+def suppress_duplicate_substrings(
+    docs: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Cut the flagged passages out of the text: docs with ``text_col``
+    rebuilt from the tokens OUTSIDE every flagged interval (token order
+    preserved, single-space joined — the engine's token ops are
+    whitespace-normalized throughout). Docs with nothing flagged pass
+    through byte-identical ONLY up to whitespace: reconstruction is from
+    the token array, so runs of whitespace collapse; callers needing
+    byte fidelity on clean docs should anti-join the span table instead.
+    The per-doc interval list is the MERGED span set (small by
+    construction relative to the doc), applied array-locally in JVM."""
+    spans = substring_dup_spans(docs, n, text_col, id_col, keep_first)
+    cuts = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_ord", "end_ord")).alias("_cuts")
+    )
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_cuts"),
+            lambda c: (i >= c["start_ord"]) & (i <= c["end_ord"]),
+        ),
+    )
+    rebuilt = F.array_join(kept, " ")
+    return (
+        docs.join(
+            cuts.withColumnRenamed("doc_id", id_col), on=id_col, how="left"
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col("_cuts").isNull(), F.col(text_col)).otherwise(rebuilt),
+        )
+        .drop("_cuts")
+    )
