@@ -86,28 +86,31 @@ def _rolling_kernel(n: int):
                 a = a.astype(_np.int64)
             rows.append(a)
             max_len = max(max_len, len(a))
-        pow_b = _np.empty(max_len + 1, dtype=_np.uint64)
-        pow_binv = _np.empty(max_len + 1, dtype=_np.uint64)
-        pow_b[0] = 1
-        pow_binv[0] = 1
-        b = _np.uint64(_B)
-        binv = _np.uint64(_BINV)
-        for i in range(1, max_len + 1):
-            pow_b[i] = pow_b[i - 1] * b
-            pow_binv[i] = pow_binv[i - 1] * binv
-        out = []
-        for a in rows:
-            if a is None or len(a) < n:
-                out.append([] if a is not None else None)
-                continue
-            u = a.view(_np.uint64)
-            ln = len(u)
-            # S_i = Σ_{j<i} h_j·B^{-j}  (wraparound prefix)
-            s = _np.zeros(ln + 1, dtype=_np.uint64)
-            _np.cumsum(u * pow_binv[:ln], out=s[1:])
-            # H_i = (S_{i+n} − S_i) · B^{n-1+i}
-            h = (s[n:] - s[: ln - n + 1]) * pow_b[n - 1 : ln]
-            out.append(h.view(_np.int64))
+        # every multiply below wraps mod 2^64 BY DESIGN — silence the
+        # per-element overflow RuntimeWarning (it floods executor logs)
+        with _np.errstate(over="ignore"):
+            pow_b = _np.cumprod(
+                _np.full(max_len + 1, _np.uint64(_B), dtype=_np.uint64)
+            )
+            pow_binv = _np.cumprod(
+                _np.full(max_len + 1, _np.uint64(_BINV), dtype=_np.uint64)
+            )
+            # cumprod starts at B^1; shift to B^0..B^max_len
+            pow_b = _np.concatenate(([_np.uint64(1)], pow_b[:-1]))
+            pow_binv = _np.concatenate(([_np.uint64(1)], pow_binv[:-1]))
+            out = []
+            for a in rows:
+                if a is None or len(a) < n:
+                    out.append([] if a is not None else None)
+                    continue
+                u = a.view(_np.uint64)
+                ln = len(u)
+                # S_i = Σ_{j<i} h_j·B^{-j}  (wraparound prefix)
+                s = _np.zeros(ln + 1, dtype=_np.uint64)
+                _np.cumsum(u * pow_binv[:ln], out=s[1:])
+                # H_i = (S_{i+n} − S_i) · B^{n-1+i}
+                h = (s[n:] - s[: ln - n + 1]) * pow_b[n - 1 : ln]
+                out.append(h.view(_np.int64))
         return _pd.Series(out)
 
     return kernel
@@ -138,13 +141,24 @@ def substring_dup_spans(
     every site (useful for "drop the boilerplate everywhere")."""
     if n < 2:
         raise ValueError(f"n must be ≥ 2 (got {n}) — a 1-token window is d1")
+    from ._cache import persist_swap
+
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         _kernel(n)(token_hashes(F.col(text_col))).alias("_wh"),
     )
-    # kernel output consumed as-is by posexplode (rule 1: top-level map)
-    wins = hashed.select(
-        "doc_id", F.posexplode("_wh").alias("ord", "hv")
+    # kernel output consumed as-is by posexplode (rule 1: top-level map).
+    # persist_swap: the window table feeds BOTH the duplicate aggregate
+    # and the probe side of the join — uncached, each side re-runs the
+    # kernel, and worse, the Generate's implicit size>0 pushdown
+    # evaluates the UDF a second time WITHIN each side (plan-verified: 4
+    # kernel passes per corpus, and the un-materialized right subtree
+    # also gets a statically misestimated broadcast that OOMs at ~50M
+    # windows). Cached: ONE kernel pass; the join side estimate is the
+    # real cached size. MEMORY_AND_DISK via persist — spill-safe.
+    wins = persist_swap(
+        "substr_wins",
+        hashed.select("doc_id", F.posexplode("_wh").alias("ord", "hv")),
     )
     sites = wins.groupBy("hv").agg(
         F.count("*").alias("_c"),
