@@ -207,7 +207,10 @@ def suppress_duplicate_substrings(
     cuts = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("start_ord", "end_ord")).alias("_cuts")
     )
-    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # split the ORIGINAL text (no lower()): detection is case-folded but
+    # the surviving tokens must keep their casing; \s+ boundaries are
+    # case-independent, so ordinals line up with the hashed windows
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
     kept = F.filter(
         toks,
         lambda t, i: ~F.exists(

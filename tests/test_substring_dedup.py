@@ -190,3 +190,19 @@ def test_fuzz_vs_bruteforce(spark_mod, corpus, keep_first):
 @pytest.fixture(scope="module")
 def spark_mod(spark):
     return spark
+
+
+def test_suppress_preserves_original_casing(spark):
+    """Detection is case-folded (lower()), but suppression must rebuild
+    from the ORIGINAL tokens — a survivor's casing is untouched."""
+    shared_a = SHARED  # lowercase in doc 1 → doc 1 is the first site
+    shared_b = SHARED.upper()  # case-folded equal → still a dup site
+    d1 = _u("a", 5) + " " + shared_a
+    d2 = "Keep CASED tokens " + shared_b + " TaIl0 TaIl1 TaIl2 TaIl3 TaIl4"
+    docs = _docs(spark, [(1, d1), (2, d2)])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in suppress_duplicate_substrings(docs, n=N).collect()
+    }
+    assert got[1] == d1
+    assert got[2] == "Keep CASED tokens TaIl0 TaIl1 TaIl2 TaIl3 TaIl4"
