@@ -229,3 +229,55 @@ def suppress_duplicate_substrings(
         )
         .drop("_cuts")
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the published training-data practice
+    (GPT-3 appendix C uses 13-gram overlap; FineWeb/llm-foundry ship the
+    same check): flag every TRAIN doc sharing at least one n-token
+    window with any BENCHMARK doc, so evaluation data can be excluded
+    from the training corpus.
+
+    Returns ``train``'s rows + (contaminated: boolean, n_hits: bigint =
+    number of distinct contaminated window positions in the doc).
+    Callers drop or audit ``contaminated`` rows; per-passage excision
+    instead of whole-doc dropping is ``suppress_duplicate_substrings``
+    over ``train ∪ benchmark`` with keep_first=False restricted to
+    train ids — whole-doc dropping is the published default.
+
+    100 TB shape: the benchmark side is tiny (eval sets are thousands of
+    docs), so its distinct window hashes broadcast; the train side is
+    one narrow kernel pass + a broadcast semi-join — NO shuffle of the
+    train corpus at all. Same 64-bit collision caveat as the module
+    docstring (~2⁻⁶⁴ per window pair, false-POSITIVE only — safe
+    direction for decontamination)."""
+    if n < 2:
+        raise ValueError(f"n must be ≥ 2 (got {n})")
+    bench_hv = (
+        benchmark.select(
+            F.explode(_kernel(n)(token_hashes(F.col(text_col)))).alias("hv")
+        )
+        .distinct()
+    )
+    wins = train.select(
+        F.col(id_col).alias("_tid"),
+        F.explode(_kernel(n)(token_hashes(F.col(text_col)))).alias("hv"),
+    )
+    hits = (
+        wins.join(F.broadcast(bench_hv), on="hv")
+        .groupBy("_tid")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        train.join(
+            hits.withColumnRenamed("_tid", id_col), on=id_col, how="left"
+        )
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )

@@ -206,3 +206,26 @@ def test_suppress_preserves_original_casing(spark):
     }
     assert got[1] == d1
     assert got[2] == "Keep CASED tokens TaIl0 TaIl1 TaIl2 TaIl3 TaIl4"
+
+
+def test_decontaminate_flags_only_overlapping_train_docs(spark):
+    from deepseek_ocr_spark.operators.substring_dedup import decontaminate
+
+    bench = _docs(spark, [(100, "The Quick Brown fox JUMPS over the lazy dog today")])
+    train = _docs(
+        spark,
+        [
+            # contains the benchmark 8-gram (case-folded match)
+            (1, _u("a", 4) + " the quick brown FOX jumps over THE lazy " + _u("b", 3)),
+            (2, _u("c", 30)),  # clean
+            (3, _u("d", N - 1)),  # too short to hold a window
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["contaminated"], r["n_hits"])
+        for r in decontaminate(train, bench, n=N).collect()
+    }
+    assert got[1][0] and got[1][1] >= 1
+    assert got[2] == (False, 0) and got[3] == (False, 0)
+    # every train row survives with its columns intact (flag, not drop)
+    assert set(got) == {1, 2, 3}
