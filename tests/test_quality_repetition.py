@@ -1,0 +1,56 @@
+"""Gopher repetition signals: hand-computed fractions on small docs and
+the composite gate at the published thresholds."""
+
+from deepseek_ocr_spark.operators.quality import repetition_signals
+
+
+def _run(spark, rows, **kw):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in repetition_signals(docs, **kw).collect()}
+
+
+def test_duplicate_line_fractions(spark):
+    got = _run(spark, [(1, "aaa\nbbb\naaa"), (2, "one\ntwo\nthree")])
+    # doc 1: 3 lines, 2 distinct -> dup_line_frac 1/3; chars in
+    # duplicated lines = both "aaa" copies = 6 of 9
+    assert got[1]["dup_line_frac"] == round(1 / 3, 6)
+    assert got[1]["dup_line_char_frac"] == round(6 / 9, 6)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_char_frac"] == 0.0
+
+
+def test_top_ngram_char_fraction_flags_cycled_text(spark):
+    # "x y" 2-gram occurs 4x, each gram is 3 chars (SEP joiner counts 1
+    # like the space it stands for); doc chars = 15
+    got = _run(spark, [(1, "x y x y x y x y")], top_ns=(2,), dup_ns=())
+    assert got[1]["top_2gram_char_frac"] == round(4 * 3 / 15, 6)
+    assert not got[1]["gopher_repetition_ok"]  # 0.8 > 0.20
+
+
+def test_dup_ngram_char_fraction(spark):
+    # a repeated 5-token run: "a b c d e" occurs twice inside
+    # "a b c d e q1 q2 q3 q4 q5 q6 q7 q8 q9 a b c d e"
+    text = "a b c d e " + " ".join(f"q{i}" for i in range(1, 10)) + " a b c d e"
+    got = _run(spark, [(1, text)], top_ns=(), dup_ns=(5,))
+    # duplicated 5-grams: exactly the two "a b c d e" occurrences
+    # (9 chars each) over len(text) chars
+    assert got[1]["dup_5gram_char_frac"] == round(2 * 9 / len(text), 6)
+    expect_ok = (2 * 9 / len(text)) <= 0.15  # ≈0.39 → gate fails
+    assert got[1]["gopher_repetition_ok"] == expect_ok
+
+
+def test_clean_doc_passes_gate(spark):
+    text = " ".join(f"w{i}" for i in range(60))
+    got = _run(spark, [(1, text)])
+    assert got[1]["gopher_repetition_ok"]
+    assert got[1]["dup_line_frac"] == 0.0
+    for n in (5, 6, 7, 8, 9, 10):
+        assert got[1][f"dup_{n}gram_char_frac"] == 0.0
+
+
+def test_empty_and_null_text_rows_survive(spark):
+    got = _run(spark, [(1, ""), (2, None)])
+    assert set(got) == {1, 2}
+    for d in got.values():
+        assert d["gopher_repetition_ok"]
+        assert d["dup_line_frac"] == 0.0
