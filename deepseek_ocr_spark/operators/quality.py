@@ -163,3 +163,54 @@ def repetition_signals(
         *[name for name, _ in sig_cols],
         ok.alias("gopher_repetition_ok"),
     )
+
+
+# --- PII detection / redaction ----------------------------------------------
+# The regex family Dolma ships (EMAIL/PHONE/IP, replaced with typed
+# sentinels) — pre-training corpora redact these before packing. Pure
+# JVM regexp ops: codegen, zero Python, zero shuffle.
+
+PII_PATTERNS = {
+    # local@domain.tld — conservative, no quoted-local-part exotica
+    "email": r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+",
+    # NANP-ish phone numbers: optional +1 / (area) / separators
+    "phone": r"(\+?1[-. ]?)?(\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}",
+    # IPv4 dotted quad (0-255 per octet); the lookarounds reject a quad
+    # embedded in a longer dotted run ("version 1.2.3.4.5") — \b alone
+    # matches its first four octets
+    "ip": r"(?<!\d\.)\b((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b(?!\.\d)",
+}
+PII_SENTINELS = {
+    "email": "|||EMAIL_ADDRESS|||",
+    "phone": "|||PHONE_NUMBER|||",
+    "ip": "|||IP_ADDRESS|||",
+}
+
+
+def pii_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """docs + one ``n_<kind>`` count column per PII pattern — the audit
+    view (what WOULD be redacted). Counts are regexp_extract_all sizes,
+    evaluated in whole-stage codegen."""
+    out = docs
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")), F.lit(pat), 0
+                )
+            ).cast("bigint"),
+        )
+    return out
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """docs with every PII match in ``text_col`` replaced by its typed
+    sentinel (Dolma's replacement convention). Order matters: emails
+    first (a phone regex must not eat digits inside an already-redacted
+    span; sentinels contain no digits or @, so later passes cannot match
+    inside earlier replacements)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    for kind in ("email", "phone", "ip"):
+        text = F.regexp_replace(text, PII_PATTERNS[kind], PII_SENTINELS[kind])
+    return docs.withColumn(text_col, text)

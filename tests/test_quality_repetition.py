@@ -54,3 +54,24 @@ def test_empty_and_null_text_rows_survive(spark):
     for d in got.values():
         assert d["gopher_repetition_ok"]
         assert d["dup_line_frac"] == 0.0
+
+
+def test_pii_signals_and_redaction(spark):
+    from deepseek_ocr_spark.operators.quality import pii_signals, redact_pii
+
+    rows = [
+        (1, "reach me at jane.doe+x@example.co.uk or (555) 867-5309 via 192.168.1.254 thanks"),
+        (2, "no pii here, just text about version 1.2.3.4.5 and a@b (not an email)"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r for r in pii_signals(docs).collect()}
+    assert (sig[1]["n_email"], sig[1]["n_phone"], sig[1]["n_ip"]) == (1, 1, 1)
+    assert (sig[2]["n_email"], sig[2]["n_phone"], sig[2]["n_ip"]) == (0, 0, 0)
+    assert (sig[3]["n_email"], sig[3]["n_phone"], sig[3]["n_ip"]) == (0, 0, 0)
+    red = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert red[1] == (
+        "reach me at |||EMAIL_ADDRESS||| or |||PHONE_NUMBER||| "
+        "via |||IP_ADDRESS||| thanks"
+    )
+    assert red[2] == rows[1][1]
