@@ -305,6 +305,86 @@ def run_cluster_job(spark: SparkSession, store_dir: str) -> dict:
         edges.unpersist()
 
 
+def run_curation_job(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    benchmark_path: str | None = None,
+    jaccard_threshold: float = 0.5,
+    substring_n: int = 50,
+    decontam_n: int = 13,
+) -> dict:
+    """The full published training-corpus curation pipeline as ONE
+    composed job (the order FineWeb/Dolma run): PII redaction →
+    Gopher repetition gate → MinHash near-dup pairs + transitive
+    cluster collapse (one canonical per cluster) → cross-document
+    exact-substring suppression → (optional) benchmark decontamination
+    → curated parquet + per-stage counts. Every stage is an audited
+    operator elsewhere in this package; this function is the wiring and
+    the bookkeeping.
+
+    Scale notes: stages are narrow maps except the dedup pair shuffle,
+    the cluster closure (verified-pair-sized), and the substring
+    hash groupBy — each documented at its operator. Stage boundaries
+    localCheckpoint so counts don't re-run upstream stages and lineage
+    stays shallow (rule-17 discipline: all reads precede the write).
+    Expected input columns: (doc_id, text)."""
+    from .operators.dedup import collapse_duplicates, minhash_lsh_pairs
+    from .operators.quality import redact_pii, repetition_signals
+    from .operators.substring_dedup import (
+        decontaminate,
+        suppress_duplicate_substrings,
+    )
+
+    stats: dict = {}
+    docs = spark.read.parquet(input_path).select("doc_id", "text")
+    stats["docs_in"] = docs.count()
+
+    # 1. PII redaction (pure codegen map — no shuffle)
+    docs = redact_pii(docs)
+
+    # 2. repetition gate (Gopher thresholds)
+    rep = repetition_signals(docs).select("doc_id", "gopher_repetition_ok")
+    docs = (
+        docs.join(rep, on="doc_id", how="left")
+        .filter(F.coalesce(F.col("gopher_repetition_ok"), F.lit(True)))
+        .drop("gopher_repetition_ok")
+        .localCheckpoint()
+    )
+    stats["after_repetition_gate"] = docs.count()
+
+    # 3. near-dup pairs → transitive clusters → canonical survivors
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
+    docs = (
+        collapse_duplicates(docs, pairs)
+        .filter(F.col("kept"))
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    stats["after_dedup"] = docs.count()
+
+    # 4. cross-doc duplicated-passage excision (keep-first)
+    docs = suppress_duplicate_substrings(docs, n=substring_n).localCheckpoint()
+
+    # 5. benchmark decontamination (whole-doc drop, published default)
+    if benchmark_path is not None:
+        bench = spark.read.parquet(benchmark_path).select("text")
+        docs = (
+            decontaminate(docs, bench, n=decontam_n)
+            .filter(~F.col("contaminated"))
+            .select("doc_id", "text")
+            .localCheckpoint()
+        )
+        stats["after_decontamination"] = docs.count()
+
+    docs.write.mode("overwrite").parquet(f"{output_dir}/corpus")
+    stats["docs_out"] = docs.count()
+    stats["tokens_out"] = docs.select(
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("t")
+    ).collect()[0]["t"]
+    return stats
+
+
 def locate_job(
     spark: SparkSession, input_path: str, label: str
 ) -> DataFrame:

@@ -23,10 +23,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=False)
     ap.add_argument(
         "--job",
-        choices=["spans", "pages", "locate", "dedup", "cluster"],
+        choices=["spans", "pages", "locate", "dedup", "cluster", "curate"],
         default="spans",
     )
     ap.add_argument("--label", default="title", help="span kind for --job locate")
+    ap.add_argument(
+        "--benchmark",
+        default=None,
+        help="eval-set parquet for --job curate decontamination (optional)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args(argv)
@@ -63,6 +68,16 @@ def main(argv: list[str] | None = None) -> int:
         if not args.output:
             ap.error("--output (the signature-store dir) required for --job cluster")
         print(json.dumps(jobs.run_cluster_job(spark, args.output)))
+    elif args.job == "curate":
+        if not args.output:
+            ap.error("--output required for --job curate")
+        print(
+            json.dumps(
+                jobs.run_curation_job(
+                    spark, args.input, args.output, benchmark_path=args.benchmark
+                )
+            )
+        )
     else:
         out = jobs.locate_job(spark, args.input, args.label)
         for r in out.limit(20).collect():

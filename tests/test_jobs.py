@@ -174,3 +174,62 @@ def test_cluster_job_missing_store_is_empty(spark):
 
     stats = jobs.run_cluster_job(spark, tempfile.mkdtemp(prefix="empty_store_"))
     assert stats == {"edges": 0, "docs_clustered": 0, "clusters": 0}
+
+
+def test_curation_job_end_to_end(spark):
+    """One planted artifact per pipeline stage: a PII doc (redacted, not
+    dropped), a repetition-bomb doc (gate-dropped), a near-dup pair
+    (one canonical kept), two docs sharing a long passage (second's
+    passage excised), and a benchmark-contaminated doc (dropped)."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="curate_")
+    try:
+        def u(prefix, k):
+            return " ".join(f"{prefix}{i}" for i in range(k))
+
+        # fillers are 100+ tokens: the Gopher top-n-gram thresholds are
+        # calibrated for web-scale docs, and a 40-token fixture's single
+        # top 4-gram already covers >16% of its characters
+        passage = u("shared", 14)
+        bench_text = u("evalq", 20)
+        rows = [
+            (1, "contact bob@example.com today " + u("a", 100)),  # PII
+            (2, "spam " * 300),                                    # repetition bomb
+            (3, u("b", 100)),                                      # near-dup canonical
+            (4, u("b", 99) + " CHANGED"),                          # near-dup of 3
+            (5, u("c", 100) + " " + passage),                      # passage, first site
+            (6, u("d", 100) + " " + passage),                      # passage, second site
+            (7, u("e", 50) + " " + bench_text + " " + u("f", 50)),  # contaminated
+            (8, u("g", 100)),                                      # clean
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{base}/in"
+        )
+        spark.createDataFrame(
+            [(0, bench_text)], "doc_id long, text string"
+        ).write.parquet(f"{base}/bench")
+        stats = jobs.run_curation_job(
+            spark,
+            f"{base}/in",
+            f"{base}/out",
+            benchmark_path=f"{base}/bench",
+            substring_n=8,
+            decontam_n=8,
+        )
+        assert stats["docs_in"] == 8
+        assert stats["after_repetition_gate"] == 7   # doc 2 dropped
+        assert stats["after_dedup"] == 6             # doc 4 dropped (cluster of {3,4})
+        assert stats["after_decontamination"] == 5   # doc 7 dropped
+        assert stats["docs_out"] == 5
+        out = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{base}/out/corpus").collect()
+        }
+        assert set(out) == {1, 3, 5, 6, 8}
+        assert "|||EMAIL_ADDRESS|||" in out[1] and "bob@" not in out[1]
+        assert out[5].endswith(passage)              # first site kept
+        assert out[6] == u("d", 100)                 # second site excised
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
