@@ -75,3 +75,60 @@ def test_pii_signals_and_redaction(spark):
         "via |||IP_ADDRESS||| thanks"
     )
     assert red[2] == rows[1][1]
+
+
+def _brute_fracs(toks, top_ns, dup_ns):
+    """Pure-Python reference for the coverage kernel's published
+    semantics: top = coverage of the max-count n-gram (coverage
+    tie-break), dup = summed coverage of n-grams occurring > 1 time;
+    gram chars = token chars + (n-1) separators; denominator =
+    len(text)."""
+    from collections import Counter
+
+    total = len(" ".join(toks))
+    out = {}
+    for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+        for n in ns:
+            grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            if not c:
+                out[f"{kind}_{n}"] = 0.0
+                continue
+            glen = {g: sum(map(len, g)) + (n - 1) for g in c}
+            if kind == "top":
+                mx = max(c.values())
+                cov = max(cnt * glen[g] for g, cnt in c.items() if cnt == mx)
+            else:
+                cov = sum(cnt * glen[g] for g, cnt in c.items() if cnt > 1)
+            out[f"{kind}_{n}"] = min(round(cov / total, 6), 1.0) if total else 0.0
+    return out
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    toks=st.lists(
+        st.sampled_from(["aa", "bbb", "c", "dddd"]), min_size=0, max_size=30
+    )
+)
+def test_fuzz_coverage_kernel_vs_counter(spark_mod2, toks):
+    docs = spark_mod2.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    row = repetition_signals(docs, top_ns=(2, 3), dup_ns=(4, 5)).collect()[0]
+    want = _brute_fracs(toks, (2, 3), (4, 5))
+    assert row["top_2gram_char_frac"] == want["top_2"]
+    assert row["top_3gram_char_frac"] == want["top_3"]
+    assert row["dup_4gram_char_frac"] == want["dup_4"]
+    assert row["dup_5gram_char_frac"] == want["dup_5"]
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_mod2(spark):
+    return spark
