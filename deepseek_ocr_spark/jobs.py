@@ -271,23 +271,34 @@ def run_cluster_job(spark: SparkSession, store_dir: str) -> dict:
         dups = spark.read.parquet(dups_path)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return {"edges": 0, "docs_clustered": 0, "clusters": 0}
+            return {
+                "edges": 0,
+                "docs_clustered": 0,
+                "clusters": 0,
+                "max_cluster_size": 0,
+            }
         raise
     edges = dups.select("doc_id", "dup_of").distinct().persist()
     try:
         n_edges = edges.count()
-        from pyspark.sql import Window
-
         cl = dup_clusters(edges, a_col="doc_id", b_col="dup_of")
-        # window count, not collect_list: a pathological giant cluster
-        # must not materialize as one array row in one task
-        w = Window.partitionBy("cluster_id")
-        out = cl.select(
-            "doc_id",
-            "cluster_id",
-            F.count("*").over(w).cast("bigint").alias("cluster_size"),
-            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-        ).localCheckpoint()
+        # groupBy + join back, not a count window: groupBy gets map-side
+        # partial aggregation, so a pathological giant cluster never
+        # buffers all its rows in one window task (and collect_list's
+        # giant array row is avoided a fortiori)
+        sizes = cl.groupBy("cluster_id").agg(
+            F.count("*").cast("bigint").alias("cluster_size")
+        )
+        out = (
+            cl.join(sizes, "cluster_id")
+            .select(
+                "doc_id",
+                "cluster_id",
+                "cluster_size",
+                (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+            )
+            .localCheckpoint()
+        )
         out.write.mode("overwrite").parquet(clusters_path)
         spark.catalog.refreshByPath(clusters_path)
         stats = out.agg(

@@ -45,20 +45,36 @@ DUP_LINE_CHAR_FRAC_MAX = 0.20
 
 
 def _line_signals(text) -> list:
-    """Array-local duplicate-line fractions (lines = split on \\n)."""
+    """Array-local duplicate-line fractions (lines = split on \\n).
+
+    Duplicate-char accounting is O(L log L), not O(L²): sort the lines
+    (JVM native), then a line is duplicated ⟺ it equals its sorted
+    predecessor or successor — two aligned slices + zip_with, all O(L)
+    interpreted lane-ops (rule 19: the earlier nested F.filter form was
+    O(L²) interpreted, ~minutes on one adversarial 10k-line doc)."""
     lines = F.split(F.coalesce(text, F.lit("")), r"\n")
     n_lines = F.size(lines)
     n_dupl = n_lines - F.size(F.array_distinct(lines))
     # chars in lines whose value occurs more than once (counts every
-    # copy, matching the published definition); O(L²) array-local over
-    # the doc's own lines — no shuffle, no Python
+    # copy, matching the published definition)
+    srt = F.array_sort(lines)
+    m = F.greatest(n_lines - 1, F.lit(0))
+    eq = F.zip_with(
+        F.slice(srt, 1, m), F.slice(srt, 2, m), lambda a, b: a.eqNullSafe(b)
+    )
+    dup_flag = F.zip_with(
+        F.concat(F.array(F.lit(False)), eq),
+        F.concat(eq, F.array(F.lit(False))),
+        lambda a, b: a | b,
+    )
     dup_chars = F.aggregate(
-        F.filter(
-            lines,
-            lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1,
+        F.zip_with(
+            srt,
+            dup_flag,
+            lambda x, fl: F.when(fl, F.length(x)).otherwise(F.lit(0)),
         ),
         F.lit(0),
-        lambda acc, x: acc + F.length(x),
+        lambda acc, x: acc + x,
     )
     total_chars = F.aggregate(
         lines, F.lit(0), lambda acc, x: acc + F.length(x)
@@ -215,8 +231,10 @@ def repetition_signals(
 PII_PATTERNS = {
     # local@domain.tld — conservative, no quoted-local-part exotica
     "email": r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+",
-    # NANP-ish phone numbers: optional +1 / (area) / separators
-    "phone": r"(\+?1[-. ]?)?(\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}",
+    # NANP-ish phone numbers: optional +1 / (area) / separators; the
+    # lookarounds reject a "phone" embedded in a longer digit/dash run
+    # ("555-123-45678", "id 9555-123-4567") — same guard family as IP
+    "phone": r"(?<![\d-])(\+?1[-. ]?)?(\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}(?![\d-])",
     # IPv4 dotted quad (0-255 per octet); the lookarounds reject a quad
     # embedded in a longer dotted run ("version 1.2.3.4.5") — \b alone
     # matches its first four octets

@@ -231,12 +231,19 @@ def suppress_duplicate_substrings(
     )
 
 
+# the benchmark's distinct window hashes must fit a broadcast; eval
+# benchmarks are thousands of docs (≪ this), so tripping the bound means
+# the CALL is wrong (e.g. decontaminating against another corpus)
+MAX_BENCHMARK_WINDOWS = 20_000_000
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
     n: int = 13,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_benchmark_windows: int | None = MAX_BENCHMARK_WINDOWS,
 ) -> DataFrame:
     """Benchmark decontamination — the published training-data practice
     (GPT-3 appendix C uses 13-gram overlap; FineWeb/llm-foundry ship the
@@ -265,6 +272,20 @@ def decontaminate(
         )
         .distinct()
     )
+    # EAGER broadcast-size guard (cosine_topk's house style): a bounded
+    # limit+count probe at construction, so misuse raises instead of
+    # OOMing the driver mid-job; pass None to skip in plan-only contexts
+    if max_benchmark_windows is not None:
+        probe = bench_hv.limit(max_benchmark_windows + 1).count()
+        if probe > max_benchmark_windows:
+            raise ValueError(
+                f"decontaminate broadcasts the benchmark's distinct window "
+                f"hashes; this benchmark exceeds max_benchmark_windows="
+                f"{max_benchmark_windows}. Eval sets are thousands of docs — "
+                "a bigger 'benchmark' is a corpus: use "
+                "substring_dup_spans over the union instead, or raise the "
+                "bound explicitly."
+            )
     wins = train.select(
         F.col(id_col).alias("_tid"),
         F.explode(_kernel(n)(token_hashes(F.col(text_col)))).alias("hv"),

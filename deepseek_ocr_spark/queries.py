@@ -1969,11 +1969,15 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_mode="portable",
     )
     cl = dup_clusters(pairs)
-    w = Window.partitionBy("cluster_id")
-    return cl.select(
+    # groupBy + join, not a count window: partial aggregation spreads a
+    # pathological giant cluster across reducers (ADVICE r4)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return cl.join(sizes, "cluster_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
-        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 

@@ -173,7 +173,13 @@ def test_cluster_job_missing_store_is_empty(spark):
     import tempfile
 
     stats = jobs.run_cluster_job(spark, tempfile.mkdtemp(prefix="empty_store_"))
-    assert stats == {"edges": 0, "docs_clustered": 0, "clusters": 0}
+    # shape must match the normal path's dict exactly (ADVICE r4)
+    assert stats == {
+        "edges": 0,
+        "docs_clustered": 0,
+        "clusters": 0,
+        "max_cluster_size": 0,
+    }
 
 
 def test_curation_job_end_to_end(spark):

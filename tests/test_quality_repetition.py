@@ -19,6 +19,35 @@ def test_duplicate_line_fractions(spark):
     assert got[2]["dup_line_char_frac"] == 0.0
 
 
+def test_adversarial_many_line_doc_is_subquadratic(spark):
+    """20k-line doc with heavy line duplication: the sorted-adjacent
+    dup-char fold is O(L log L) — under the old nested-filter form this
+    single row cost ~4·10⁸ interpreted lane-ops (minutes); now it's one
+    array_sort + three O(L) passes. Values pinned vs a Python
+    reference."""
+    uniq = [f"line-{i:05d}" for i in range(10_000)]
+    dups = [f"dup-{i % 50:03d}" for i in range(10_000)]  # 50 values ×200
+    lines = [v for pair in zip(uniq, dups) for v in pair]
+    text = "\n".join(lines)
+    got = _run(spark, [(1, text)], top_ns=(), dup_ns=())[1]
+    n = len(lines)
+    n_dupl = n - len(set(lines))
+    dup_chars = sum(len(x) for x in dups)  # every dup-line value occurs 200x
+    total = sum(len(x) for x in lines)
+    assert got["dup_line_frac"] == round(n_dupl / n, 6)
+    assert got["dup_line_char_frac"] == round(dup_chars / total, 6)
+
+
+def test_single_and_two_line_edges(spark):
+    # L=1 (no neighbors) and L=2 equal/unequal — slice boundary cases of
+    # the sorted-adjacent fold
+    got = _run(spark, [(1, "solo"), (2, "same\nsame"), (3, "a\nb")])
+    assert got[1]["dup_line_char_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == 0.5
+    assert got[2]["dup_line_char_frac"] == 1.0
+    assert got[3]["dup_line_char_frac"] == 0.0
+
+
 def test_top_ngram_char_fraction_flags_cycled_text(spark):
     # "x y" 2-gram occurs 4x, each gram is 3 chars (SEP joiner counts 1
     # like the space it stands for); doc chars = 15
@@ -75,6 +104,29 @@ def test_pii_signals_and_redaction(spark):
         "via |||IP_ADDRESS||| thanks"
     )
     assert red[2] == rows[1][1]
+
+
+def test_phone_regex_rejects_longer_digit_runs(spark):
+    """ADVICE r4: the phone pattern must not fire inside longer digit
+    runs — guards (?<![\\d-]) ... (?![\\d-]) mirror the IP pattern's."""
+    from deepseek_ocr_spark.operators.quality import pii_signals, redact_pii
+
+    rows = [
+        (1, "call 555-123-45678 now"),      # 5-digit tail: not a phone
+        (2, "id 9555-123-4567 here"),       # 4-digit head: not a phone
+        (3, "call 555-123-4567 now"),       # real phone
+        (4, "dial +1 (555) 123-4567 ok"),   # real phone, +1/parens form
+        (5, "serial 555-123-4567-89 x"),    # dash-embedded: not a phone
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r["n_phone"] for r in pii_signals(docs).collect()}
+    assert sig == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+    red = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert red[1] == rows[0][1]
+    assert red[2] == rows[1][1]
+    assert red[3] == "call |||PHONE_NUMBER||| now"
+    assert red[4] == "dial |||PHONE_NUMBER||| ok"
+    assert red[5] == rows[4][1]
 
 
 def _brute_fracs(toks, top_ns, dup_ns):

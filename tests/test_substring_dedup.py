@@ -229,3 +229,21 @@ def test_decontaminate_flags_only_overlapping_train_docs(spark):
     assert got[2] == (False, 0) and got[3] == (False, 0)
     # every train row survives with its columns intact (flag, not drop)
     assert set(got) == {1, 2, 3}
+
+
+def test_decontaminate_oversized_benchmark_raises_eagerly(spark):
+    """VERDICT r4 #5: the benchmark-window broadcast has an EAGER size
+    guard — construction raises (before any train-side work) when the
+    benchmark's distinct windows exceed the bound."""
+    import pytest
+
+    from deepseek_ocr_spark.operators.substring_dedup import decontaminate
+
+    big_bench = _docs(
+        spark, [(i, " ".join(f"tok{i}_{j}" for j in range(40))) for i in range(3)]
+    )  # 3 docs × (40-13+1)=28 windows = 84 distinct windows
+    train = _docs(spark, [(1, _u("a", 30))])
+    with pytest.raises(ValueError, match="max_benchmark_windows"):
+        decontaminate(train, big_bench, n=13, max_benchmark_windows=50)
+    # None disables the probe (plan-only contexts)
+    decontaminate(train, big_bench, n=13, max_benchmark_windows=None)
