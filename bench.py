@@ -61,8 +61,10 @@ HEADLINE = [
     "s1_knn_bruteforce",
     "s2_knn_lsh",
     "s3_knn_ivf",
-    "a1_token_fingerprint",
-    "e1_embedding_norm",
+    "u1_substring_dedup",
+    "u2_repetition_signals",
+    "u4_semantic_dedup",
+    "a1_token_quality",
     "p4_pad_token_layout",
     "s7_annotation_plan",
     "p7b_sequence_packing",

@@ -217,7 +217,10 @@ GROUP BY p_type
 
 
 def q_semijoin_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS / left-semi join (orders with any late-shipped lineitem)."""
+    """EXISTS / left-semi join (orders with any late-shipped lineitem).
+    Function retained for direct use; registry-merged into
+    q_setops_priority_customers (r5) — the semi-join shape is driver-
+    checked there as the 'semijoin_late' branch."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -229,15 +232,6 @@ def q_semijoin_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
-
-
-SQL_ORDER_PRIORITY = """
-SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
-FROM orders o
-WHERE EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
-GROUP BY o_orderpriority
-"""
 
 
 def q_window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,57 +268,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global deterministic top-k (sort + limit; ties broken by id).
-    At scale: per-partition top-k then merge — Spark's TakeOrderedAndProject
-    does exactly this, no full sort."""
+def q_topk_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged registry entry (r5, 50-entry cap): global deterministic
+    top-k (sort + limit; Spark plans TakeOrderedAndProject — per-
+    partition top-k then merge, no full sort) JOINED with the per-day
+    two-phase COUNT(DISTINCT) aggregates on each event's day. Both §2.7
+    checklist shapes (top-k, distinct agg) stay driver-checked in one
+    event-grain result. Rank is on the ROUNDED value with id tiebreak
+    (CLAUDE.md rule 2): DuckDB's ORDER BY binds to the rounded alias,
+    so ranking raw here would diverge at ties that straddle the LIMIT
+    boundary."""
     ev = _t(spark, sf_dir, "events")
-    # rank on the ROUNDED value (CLAUDE.md rule 2): DuckDB's ORDER BY
-    # binds to the rounded alias, so ranking raw here would diverge at
-    # ties that straddle the LIMIT boundary
-    return (
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("day_users"),
+        F.count("*").cast("bigint").alias("day_events"),
+    )
+    topk = (
         ev.select(
             F.col("event_id").cast("bigint").alias("event_id"),
             "event_type",
             F.round("value", 6).alias("value"),
+            F.to_date("ts").alias("day"),
         )
         .orderBy(F.desc("value"), F.asc("event_id"))
         .limit(100)
     )
-
-
-SQL_TOPK_EVENTS = """
-SELECT CAST(event_id AS BIGINT) AS event_id, event_type, ROUND(value, 6) AS value
-FROM events ORDER BY value DESC, event_id ASC LIMIT 100
-"""
-
-
-def q_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count(DISTINCT) per day — two-phase distinct aggregation."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .agg(
-            F.countDistinct("user_id").cast("bigint").alias("n_users"),
-            F.count("*").cast("bigint").alias("n_events"),
-        )
+    # the day rollup is ~30 rows — broadcast onto the 100 winners
+    return topk.join(F.broadcast(daily), "day").select(
+        "event_id", "event_type", "value", "day", "day_users", "day_events"
     )
 
 
-SQL_DAILY_USERS = """
-SELECT CAST(ts AS DATE) AS day,
-  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-  CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events GROUP BY CAST(ts AS DATE)
+SQL_TOPK_DAILY = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS day_users,
+    CAST(COUNT(*) AS BIGINT) AS day_events
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+topk AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+    ROUND(value, 6) AS value, CAST(ts AS DATE) AS day
+  FROM events ORDER BY value DESC, event_id ASC LIMIT 100
+)
+SELECT t.event_id, t.event_type, t.value, t.day, d.day_users, d.day_events
+FROM topk t JOIN daily d USING (day)
 """
 
 
 def q_setops_priority_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operators (§2.7): EXCEPT (customers with URGENT orders but no
-    LOW orders) and INTERSECT (customers with both), tagged and unioned
-    into one result — both set ops exercised in a single registry slot
-    (the driver correctness report caps at 50 queries)."""
+    """Set operators + semi-join (§2.7; merged q_semijoin_order_priority
+    in r5 — the 50-entry cap): EXCEPT (customers with URGENT orders but
+    no LOW orders), INTERSECT (customers with both), and a LEFT-SEMI
+    branch (customers with at least one late-shipped order — the
+    inequality-condition EXISTS shape), tagged and unioned into one
+    customer-grain result."""
     o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").cast("bigint").alias("custkey")
     )
@@ -337,7 +337,17 @@ def q_setops_priority_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = urgent.intersect(low).select(
         F.lit("intersect").alias("setop"), "custkey"
     )
-    return ex.unionByName(both)
+    late = (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .select(F.col("o_custkey").cast("bigint").alias("custkey"))
+        .distinct()
+        .select(F.lit("semijoin_late").alias("setop"), "custkey")
+    )
+    return ex.unionByName(both).unionByName(late)
 
 
 SQL_SETOPS = """
@@ -354,6 +364,12 @@ SELECT 'intersect' AS setop, custkey FROM (
   INTERSECT
   SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders
   WHERE o_orderpriority = '5-LOW')
+UNION ALL
+SELECT 'semijoin_late' AS setop, custkey FROM (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey FROM orders o
+  WHERE EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate))
 """
 
 
@@ -427,15 +443,20 @@ FROM events GROUP BY event_type
 
 
 def x1_grounding_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1: regex scan for grounding spans; per-doc match count + first
-    label (run_dpsk_ocr_pdf.py:123-135)."""
+    """X1+X2 merged registry entry (same doc grain; 50-entry cap, r5):
+    regex scan for grounding spans — per-doc match count + first label
+    (run_dpsk_ocr_pdf.py:123-135) — AND the media-vs-layout span
+    classification (label == 'image' ⇒ media,
+    run_dpsk_ocr_pdf.py:130-134). Both operators fully preserved."""
     df = _raw(spark, sf_dir)
+    n_media = F.size(F.regexp_extract_all("raw", F.lit(MEDIA_PAT), 0)).cast("bigint")
+    n_total = F.size(F.regexp_extract_all("raw", F.lit(REF_PAT), 0)).cast("bigint")
     return df.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.size(F.regexp_extract_all("raw", F.lit(REF_PAT), 0))
-        .cast("bigint")
-        .alias("n_spans"),
+        n_total.alias("n_spans"),
         F.regexp_extract("raw", REF_PAT, 1).alias("first_label"),
+        n_media.alias("n_media"),
+        (n_total - n_media).alias("n_layout"),
     )
 
 
@@ -443,14 +464,18 @@ SQL_X1 = f"""
 WITH {RAW_DOCS_CTE}
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(len(regexp_extract_all(raw, '{REF_PAT}')) AS BIGINT) AS n_spans,
-  regexp_extract(raw, '{REF_PAT}', 1) AS first_label
+  regexp_extract(raw, '{REF_PAT}', 1) AS first_label,
+  CAST(len(regexp_extract_all(raw, '{MEDIA_PAT}')) AS BIGINT) AS n_media,
+  CAST(len(regexp_extract_all(raw, '{REF_PAT}'))
+     - len(regexp_extract_all(raw, '{MEDIA_PAT}')) AS BIGINT) AS n_layout
 FROM raw_docs
 """
 
 
 def x2_span_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: classify spans media vs layout (label == 'image' ⇒ media,
-    run_dpsk_ocr_pdf.py:130-134)."""
+    """X2: media-vs-layout span classification. Function retained for
+    direct use; registry-merged into x1_grounding_scan (r5) — the
+    driver-checked columns are x1's n_media/n_layout."""
     df = _raw(spark, sf_dir)
     n_media = F.size(F.regexp_extract_all("raw", F.lit(MEDIA_PAT), 0)).cast("bigint")
     n_total = F.size(F.regexp_extract_all("raw", F.lit(REF_PAT), 0)).cast("bigint")
@@ -459,16 +484,6 @@ def x2_span_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_media.alias("n_media"),
         (n_total - n_media).alias("n_layout"),
     )
-
-
-SQL_X2 = f"""
-WITH {RAW_DOCS_CTE}
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CAST(len(regexp_extract_all(raw, '{MEDIA_PAT}')) AS BIGINT) AS n_media,
-  CAST(len(regexp_extract_all(raw, '{REF_PAT}'))
-     - len(regexp_extract_all(raw, '{MEDIA_PAT}')) AS BIGINT) AS n_layout
-FROM raw_docs
-"""
 
 
 def x3_det_parse_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1189,20 +1204,32 @@ FROM canon
 """
 
 
-def a1_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + document fingerprinting in one per-doc pass
-    (merged a1+a4, round 3 — one registry slot under the driver's
-    50-query report cap; both operators fully preserved). Tokens:
-    whitespace, regex word, and BPE-ish segment counts. Fingerprint:
-    md5 over a normalized prefix (rolling-hash class); fp group size and
-    canonical member arrive via a window over fp — the same shuffle-by-
-    fingerprint shape as the former groupBy, but the per-doc rows stay
-    observable."""
+def a1_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis suite in one per-doc pass — merged a1+a4 (r3) and
+    now a2+a3 as well (r5, 50-entry cap freed for the curation layer;
+    every column of all four operators preserved at the same doc grain).
+
+    Token counting + fingerprinting: whitespace, regex word, and BPE-ish
+    segment counts; fp = md5 over a normalized prefix (rolling-hash
+    class) with group size and canonical member via a window over fp.
+    Quality: length + stopword-ratio block features (jusText-style,
+    north_star). Lang-ID: stopword-hit ratio on lowercased \\s+ tokens +
+    non-ASCII fraction (n-gram heuristic class; scoring only — corpus
+    text is synthetic). ws_tokens doubles as the former a2 n_tokens
+    (identical definition)."""
     df = _t(spark, sf_dir, "documents")
     fp = F.md5(F.substring(F.regexp_replace("text", r"[^a-z0-9 ]", ""), 1, 64))
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    ltoks = F.split(F.lower("text"), r"\s+")
+    ln_tok = F.size(ltoks).cast("double")
+    hits = F.size(F.filter(ltoks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    ratio = F.round(hits / F.nullif(ln_tok, F.lit(0.0)), 6)
+    non_ascii = F.length(F.regexp_replace("text", r"[\x00-\x7F]", ""))
     base = df.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(toks).cast("bigint").alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(r"[a-z0-9]+"), 0))
         .cast("bigint")
         .alias("word_tokens"),
@@ -1214,51 +1241,6 @@ def a1_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bpe_tokens"),
         fp.alias("fp"),
-    )
-    w = Window.partitionBy("fp")
-    return base.select(
-        "*",
-        F.count("*").over(w).cast("bigint").alias("n_docs_fp"),
-        F.min("doc_id").over(w).cast("bigint").alias("canonical_doc"),
-    )
-
-
-SQL_A1 = rf"""
-WITH base AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
-    CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS bpe_tokens,
-    md5(substr(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), 1, 64)) AS fp
-  FROM documents
-)
-SELECT *,
-  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_docs_fp,
-  CAST(MIN(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS canonical_doc
-FROM base
-"""
-
-
-def a2_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + heuristic language ID in one per-doc pass
-    (merged a2+a3, round 3 — one registry slot under the driver's
-    50-query report cap; both operators fully preserved). Quality:
-    length + stopword-ratio block features (jusText-style, north_star).
-    Lang-ID: stopword-hit ratio on lowercased \\s+ tokens + non-ASCII
-    fraction (n-gram heuristic class; scoring only — corpus text is
-    synthetic)."""
-    df = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tok = F.size(toks).cast("double")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
-    ltoks = F.split(F.lower("text"), r"\s+")
-    ln_tok = F.size(ltoks).cast("double")
-    hits = F.size(F.filter(ltoks, lambda t: t.isin(*STOPWORDS))).cast("double")
-    ratio = F.round(hits / F.nullif(ln_tok, F.lit(0.0)), 6)
-    non_ascii = F.length(F.regexp_replace("text", r"[\x00-\x7F]", ""))
-    return df.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
         F.round(n_stop / F.nullif(n_tok, F.lit(0.0)), 6).alias("stop_ratio"),
         (F.col("n_chars") >= 200).alias("len_ok"),
         "lang",
@@ -1269,27 +1251,42 @@ def a2_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unknown")
         .alias("predicted"),
     )
+    w = Window.partitionBy("fp")
+    return base.select(
+        "*",
+        F.count("*").over(w).cast("bigint").alias("n_docs_fp"),
+        F.min("doc_id").over(w).cast("bigint").alias("canonical_doc"),
+    )
 
 
 _SW = "('" + "','".join(STOPWORDS) + "')"
-SQL_A2 = rf"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-  ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW})) AS DOUBLE)
-        / NULLIF(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0), 6) AS stop_ratio,
-  n_chars >= 200 AS len_ok,
-  lang,
-  ROUND(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        t -> t IN {_SW})) AS DOUBLE)
-    / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0), 6)
-    AS stop_hit_ratio,
-  CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS BIGINT) AS non_ascii_chars,
-  CASE WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) > 0 THEN 'non_latin'
-       WHEN ROUND(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-            t -> t IN {_SW})) AS DOUBLE)
-         / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0), 6) >= 0.05
-       THEN 'en_like' ELSE 'unknown' END AS predicted
-FROM documents
+SQL_A1 = rf"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+    CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS bpe_tokens,
+    md5(substr(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), 1, 64)) AS fp,
+    ROUND(CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW})) AS DOUBLE)
+          / NULLIF(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.0), 6) AS stop_ratio,
+    n_chars >= 200 AS len_ok,
+    lang,
+    ROUND(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          t -> t IN {_SW})) AS DOUBLE)
+      / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0), 6)
+      AS stop_hit_ratio,
+    CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS BIGINT) AS non_ascii_chars,
+    CASE WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) > 0 THEN 'non_latin'
+         WHEN ROUND(CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+              t -> t IN {_SW})) AS DOUBLE)
+           / NULLIF(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE), 0.0), 6) >= 0.05
+         THEN 'en_like' ELSE 'unknown' END AS predicted
+  FROM documents
+)
+SELECT *,
+  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_docs_fp,
+  CAST(MIN(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS canonical_doc
+FROM base
 """
 
 
@@ -1319,7 +1316,9 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 
 def e1_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array math: L2 norm via sequential double fold (F.aggregate —
-    stays in codegen, no UDF)."""
+    stays in codegen, no UDF). Function retained for direct use;
+    registry-merged into s1_knn_bruteforce (r5) — the fold is driver-
+    checked there as the neighbor_l2 column."""
     df = _t(spark, sf_dir, "embeddings")
     sq = F.aggregate(
         "embedding",
@@ -1331,15 +1330,6 @@ def e1_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq), 6).alias("l2_norm"),
         F.col("label").cast("bigint").alias("label"),
     )
-
-
-SQL_E1 = """
-SELECT CAST(vec_id AS BIGINT) AS vec_id,
-  ROUND(sqrt(list_sum(list_transform(embedding,
-        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
-  CAST(label AS BIGINT) AS label
-FROM embeddings
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -2219,17 +2209,32 @@ def _cast_knn_ids(out: DataFrame) -> DataFrame:
 
 def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the first 20 vectors (ANN
-    correctness baseline)."""
+    correctness baseline), plus the neighbor's L2 norm via the
+    sequential F.aggregate double fold (merged e1_embedding_norm, r5 —
+    the array-math fold stays driver-checked at the same result
+    grain)."""
     from .operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     # allow_full_scan: this registry entry IS the documented comparator on
     # the bounded sf corpora; skipping the guard keeps construction job-free
     # (plan tools) and the guard count out of the bench's timed region
-    return _cast_knn_ids(
+    knn = _cast_knn_ids(
         cosine_topk(
             emb, emb.filter(F.col("vec_id") < 20), k=5, allow_full_scan=True
         )
+    )
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norms = emb.select(
+        F.col("vec_id").cast("bigint").alias("neighbor_id"),
+        F.round(F.sqrt(sq), 6).alias("neighbor_l2"),
+    )
+    return knn.join(norms, "neighbor_id").select(
+        "query_id", "neighbor_id", "sim", "rank", "neighbor_l2"
     )
 
 
@@ -2244,8 +2249,15 @@ ranked AS (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
   FROM scored
+),
+norms AS (
+  SELECT CAST(vec_id AS BIGINT) AS neighbor_id,
+    ROUND(sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS neighbor_l2
+  FROM embeddings
 )
-SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+SELECT r.query_id, r.neighbor_id, r.sim, r.rank, n.neighbor_l2
+FROM ranked r JOIN norms n USING (neighbor_id) WHERE r.rank <= 5
 """
 
 
@@ -3359,6 +3371,508 @@ WHERE kind = 'media'
 
 
 # ---------------------------------------------------------------------------
+# curation layer under the driver gate (round 5, VERDICT r4 #1): the five
+# operators a training-data user runs first — exact-substring dedup,
+# Gopher repetition signals, benchmark decontamination, semantic dedup,
+# PII redaction — each with a full DuckDB oracle. Window identity on the
+# Spark side is the 64-bit rolling polynomial hash (substring_dedup.py);
+# the oracles use the literal window STRING — equality of token
+# sequences ⟺ equality of joined strings (tokens are \s+-split, so they
+# contain no separator), and hash-vs-string divergence is a ~2⁻⁶⁴
+# collision the gate would expose.
+# ---------------------------------------------------------------------------
+
+# 12-token boilerplate passage appended to every 20th doc — the license-
+# header shape substring dedup exists for (cross-doc repeated passage,
+# invisible to doc-level dedup).
+_U1_PASSAGE = (
+    "license header alpha beta gamma delta epsilon zeta eta theta iota kappa"
+)
+_U1_N = 8
+
+
+def _docs_with_planted_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat("text", F.lit(" " + _U1_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def u1_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup (ExactSubstr, Lee et al.
+    2022) over a passage-planted corpus: one row per doc per MERGED
+    flagged token interval, globally-first site exempt
+    (operators/substring_dedup.py). The 25 planted docs share the
+    passage's 5 pure windows (plus any boundary windows sharing a
+    suffix), so every planted doc except the min-id one emits an
+    interval; natural vocab-30 collisions are mirrored by the oracle."""
+    from .operators.substring_dedup import substring_dup_spans
+
+    spans = substring_dup_spans(
+        _docs_with_planted_passage(spark, sf_dir), n=_U1_N
+    )
+    return spans.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "start_ord",
+        "end_ord",
+    )
+
+
+# corpus CTE + \s+ token arrays, shared by u1; windows are built by
+# slicing the token array over a per-row range list (DuckDB 1.0 has no
+# lateral range table function — rule 8 family)
+_U1_CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text || ' {_U1_PASSAGE}' AS text
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+)
+"""
+
+
+def _sql_wins(n: int, src: str = "toks") -> str:
+    """(doc_id, ord, w) rows of every n-token window of ``src``'s token
+    array column t — 0-based ord, space-joined window string."""
+    rng = f"range(1, greatest(len(t) - {n} + 2, 1))"
+    return f"""
+  SELECT doc_id,
+    unnest(list_transform({rng}, i -> i - 1)) AS ord,
+    unnest(list_transform({rng}, i -> array_to_string(t[i:i+{n - 1}], ' '))) AS w
+  FROM {src}
+"""
+
+
+def _sql_u1() -> str:
+    return rf"""
+WITH {_U1_CORPUS_CTE.strip()},
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS t
+  FROM corpus
+),
+wins AS ({_sql_wins(_U1_N)}),
+fl AS (
+  SELECT doc_id, ord FROM (
+    SELECT doc_id, ord,
+      COUNT(*) OVER (PARTITION BY w) AS c,
+      ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, ord) AS rn
+    FROM wins)
+  WHERE c > 1 AND rn > 1
+),
+isl AS (
+  SELECT doc_id, ord,
+    CASE WHEN lag(ord) OVER w2 IS NULL
+           OR ord > lag(ord) OVER w2 + {_U1_N - 1}
+         THEN 1 ELSE 0 END AS newi
+  FROM fl WINDOW w2 AS (PARTITION BY doc_id ORDER BY ord)
+),
+isl2 AS (
+  SELECT doc_id, ord,
+    SUM(newi) OVER (PARTITION BY doc_id ORDER BY ord) AS island
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(MIN(ord) AS BIGINT) AS start_ord,
+  CAST(MAX(ord) + {_U1_N - 1} AS BIGINT) AS end_ord
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+def u2_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals + composite gate (Rae et al. 2021 Table
+    A1; operators/quality.py) over a line-planted corpus: every 7th
+    doc's spaces become newlines (the vocab-30 corpus then has heavily
+    duplicated lines), the rest are single-line. The n-gram signals are
+    naturally non-trivial — a 30-word vocabulary repeats n-grams
+    constantly. Kernel accounting (top = max-count gram's coverage with
+    coverage tiebreak; dup = summed coverage of count>1 grams; denom =
+    sum of line lengths; round 6 then cap at 1.0) mirrored literally."""
+    from .operators.quality import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.translate("text", " ", "\n")
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = repetition_signals(docs)
+    return out.withColumn("doc_id", F.col("doc_id").cast("bigint"))
+
+
+def _sql_u2() -> str:
+    from .operators.quality import (
+        DUP_LINE_CHAR_FRAC_MAX,
+        DUP_LINE_FRAC_MAX,
+        DUP_NGRAM_THRESHOLDS,
+        TOP_NGRAM_THRESHOLDS,
+    )
+
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    wins_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {n} AS n, ord, w FROM ({_sql_wins(n)})"
+        for n in (*top_ns, *dup_ns)
+    )
+    piv_cols = ",\n    ".join(
+        [
+            f"MAX(CASE WHEN a.n = {n} THEN a.topcov END) AS top_{n}"
+            for n in top_ns
+        ]
+        + [
+            f"MAX(CASE WHEN a.n = {n} THEN a.dupcov END) AS dup_{n}"
+            for n in dup_ns
+        ]
+    )
+    frac = (
+        "LEAST(COALESCE(ROUND(CAST({v} AS DOUBLE) / "
+        "NULLIF(CAST(l.total_chars AS DOUBLE), 0.0), 6), 0.0), 1.0)"
+    )
+    frac_cols = ",\n  ".join(
+        [
+            frac.format(v=f"p.top_{n}") + f" AS top_{n}gram_char_frac"
+            for n in top_ns
+        ]
+        + [
+            frac.format(v=f"p.dup_{n}") + f" AS dup_{n}gram_char_frac"
+            for n in dup_ns
+        ]
+    )
+    gate = " AND ".join(
+        [f"dup_line_frac <= {DUP_LINE_FRAC_MAX}"]
+        + [f"dup_line_char_frac <= {DUP_LINE_CHAR_FRAC_MAX}"]
+        + [
+            f"top_{n}gram_char_frac <= {TOP_NGRAM_THRESHOLDS[n]}"
+            for n in top_ns
+        ]
+        + [
+            f"dup_{n}gram_char_frac <= {DUP_NGRAM_THRESHOLDS[n]}"
+            for n in dup_ns
+        ]
+    )
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN replace(text, ' ', e'\n') ELSE text END AS text
+  FROM documents
+),
+lx AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(coalesce(text, ''), '\n')) AS line
+  FROM corpus
+),
+lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lx GROUP BY doc_id, line),
+lstat AS (
+  SELECT doc_id,
+    SUM(c) AS n_lines,
+    SUM(c) - COUNT(*) AS n_dupl,
+    SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars,
+    SUM(c * length(line)) AS total_chars
+  FROM lc GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS t
+  FROM corpus
+),
+wins AS (
+{wins_union}
+),
+gc AS (
+  SELECT doc_id, n, w, COUNT(*) AS c, length(w) AS glen
+  FROM wins GROUP BY doc_id, n, w, length(w)
+),
+agg1 AS (
+  SELECT doc_id, n, MAX(c) AS mx,
+    SUM(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dupcov
+  FROM gc GROUP BY doc_id, n
+),
+agg2 AS (
+  SELECT g.doc_id, g.n, a.dupcov, MAX(g.c * g.glen) AS topcov
+  FROM gc g JOIN agg1 a ON a.doc_id = g.doc_id AND a.n = g.n AND g.c = a.mx
+  GROUP BY g.doc_id, g.n, a.dupcov
+),
+piv AS (
+  SELECT c.doc_id,
+    {piv_cols}
+  FROM corpus c LEFT JOIN agg2 a ON a.doc_id = c.doc_id
+  GROUP BY c.doc_id
+),
+fr AS (
+  SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+  COALESCE(ROUND(CAST(l.n_dupl AS DOUBLE) /
+      NULLIF(CAST(l.n_lines AS DOUBLE), 0.0), 6), 0.0) AS dup_line_frac,
+  COALESCE(ROUND(CAST(l.dup_chars AS DOUBLE) /
+      NULLIF(CAST(l.total_chars AS DOUBLE), 0.0), 6), 0.0) AS dup_line_char_frac,
+  {frac_cols}
+  FROM lstat l JOIN piv p ON p.doc_id = l.doc_id
+)
+SELECT *, ({gate}) AS gopher_repetition_ok FROM fr
+"""
+
+
+_U3_N = 13
+
+
+def u3_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C, 13-gram overlap;
+    operators/substring_dedup.py): the 'benchmark' is every 25th doc's
+    token slice [6..45], so those docs (and only docs sharing one of
+    those 13-grams) come back contaminated. Train side pays one kernel
+    pass + a broadcast semi-join — zero train shuffle."""
+    from .operators.substring_dedup import decontaminate
+
+    train = _t(spark, sf_dir, "documents")
+    bench = train.filter(F.col("doc_id") % 25 == 0).select(
+        F.array_join(F.slice(F.split("text", r"\s+"), 6, 40), " ").alias(
+            "text"
+        )
+    )
+    # guard probe skipped: registry constructors stay job-free (the
+    # allow_full_scan=True convention); the bound itself is pytest-pinned
+    out = decontaminate(train, bench, n=_U3_N, max_benchmark_windows=None)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_hits",
+        "contaminated",
+    )
+
+
+def _sql_u3() -> str:
+    return rf"""
+WITH bench AS (
+  SELECT array_to_string((regexp_split_to_array(text, '\s+'))[6:45], ' ') AS text
+  FROM documents WHERE doc_id % 25 = 0
+),
+btoks AS (
+  SELECT 0 AS doc_id,
+    regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS t
+  FROM bench
+),
+bwins AS (SELECT DISTINCT w FROM ({_sql_wins(_U3_N, "btoks")})),
+ttoks AS (
+  SELECT doc_id, regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS t
+  FROM documents
+),
+twins AS ({_sql_wins(_U3_N, "ttoks")}),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hits
+  FROM twins t JOIN bwins b ON b.w = t.w GROUP BY t.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+_U4_CELLS, _U4_BASE, _U4_THRESHOLD = 16, 100, 0.99
+
+
+def u4_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023; operators/similarity.py:
+    semantic_dedup) over the planted-dup vector corpus: quantizer cells
+    (deterministic seeded centroids = corpus vectors with ids
+    [100, 116), the s3 convention, inlined as literals) → within-cell
+    cosine ≥ 0.99 → transitive cluster collapse, one canonical kept per
+    cluster. cluster_id NULL ⇒ no duplicate — emitted as the -1
+    sentinel (null-tie hazard, tools/scan_null_ties.py)."""
+    from .operators.similarity import semantic_dedup
+
+    vecs = _vecs_with_planted_dups(spark, sf_dir)
+    seeds = (
+        vecs.filter(
+            (F.col("vec_id") >= _U4_BASE)
+            & (F.col("vec_id") < _U4_BASE + _U4_CELLS)
+        )
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seeds]
+    out = semantic_dedup(
+        vecs, threshold=_U4_THRESHOLD, n_cells=_U4_CELLS, centroids=cents
+    )
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.coalesce(F.col("cluster_id"), F.lit(-1))
+        .cast("bigint")
+        .alias("cluster_id"),
+        "kept",
+    )
+
+
+def _sql_u4() -> str:
+    sq = (
+        "list_sum(list_transform(list_zip({v}, {c}),"
+        " s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+        " * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))))"
+    )
+    return f"""
+WITH RECURSIVE {_VAUG_CTE.strip()},
+cents AS (
+  SELECT CAST(vec_id - {_U4_BASE} AS INTEGER) AS cell, embedding AS cvec
+  FROM vaug WHERE vec_id >= {_U4_BASE} AND vec_id < {_U4_BASE + _U4_CELLS}
+),
+vd AS (
+  SELECT v.vec_id, c.cell, {sq.format(v="v.embedding", c="c.cvec")} AS d
+  FROM vaug v CROSS JOIN cents c
+),
+rk AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rk
+  FROM vd
+),
+vcell AS (SELECT vec_id, cell FROM rk WHERE rk = 1),
+prs AS (
+  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+  FROM vcell x
+  JOIN vcell y ON y.cell = x.cell AND x.vec_id < y.vec_id
+  JOIN vaug a ON a.vec_id = x.vec_id
+  JOIN vaug b ON b.vec_id = y.vec_id
+  WHERE ROUND({_COS_AB}, 6) >= {_U4_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM prs
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+lab AS (
+  SELECT node, LEAST(node, MIN(r)) AS cluster_id FROM reach GROUP BY node
+)
+SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+  CAST(COALESCE(l.cluster_id, -1) AS BIGINT) AS cluster_id,
+  (l.cluster_id IS NULL OR v.vec_id = l.cluster_id) AS kept
+FROM vaug v LEFT JOIN lab l ON l.node = v.vec_id
+"""
+
+
+def _pii_corpus_expr():
+    """Deterministic PII-planted text from (doc_id): emails always,
+    phones/IPs + adversarial non-matches on residue classes. Plants are
+    space-separated (never adjacent to other digits/dots/dashes) so the
+    Java lookaround patterns and the oracle's RE2 captured-context
+    equivalents provably agree — the adversarial rows pin the
+    guard behavior itself (digit-run phones, 5-part dotted runs)."""
+    d = F.col("doc_id")
+    seg = [
+        F.concat(
+            F.lit("u"),
+            d.cast("string"),
+            F.lit(" mail bob"),
+            (d % 50).cast("string"),
+            F.lit("@ex"),
+            (d % 9).cast("string"),
+            F.lit(".org stop"),
+        ),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" call 555-123-"), (1000 + d % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(d % 4 == 1, F.lit(" bad 555-123-45678 run")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 3 == 0, F.lit(" x (555) 867-5309 y")).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" ip 10."),
+                (d % 256).cast("string"),
+                F.lit(".3."),
+                (d % 250).cast("string"),
+                F.lit(" end"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 1, F.lit(" ver 1.2.3.4.5 here")).otherwise(F.lit("")),
+        F.lit(" ok"),
+    ]
+    return F.concat(*seg)
+
+
+_PII_CORPUS_SQL = """
+corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    'u' || CAST(doc_id AS VARCHAR)
+    || ' mail bob' || CAST(doc_id % 50 AS VARCHAR)
+    || '@ex' || CAST(doc_id % 9 AS VARCHAR) || '.org stop'
+    || CASE WHEN doc_id % 4 = 0
+         THEN ' call 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         ELSE '' END
+    || CASE WHEN doc_id % 4 = 1 THEN ' bad 555-123-45678 run' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' x (555) 867-5309 y' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.3.' || CAST(doc_id % 250 AS VARCHAR) || ' end'
+         ELSE '' END
+    || CASE WHEN doc_id % 5 = 1 THEN ' ver 1.2.3.4.5 here' ELSE '' END
+    || ' ok' AS text
+  FROM documents
+)
+"""
+
+
+def u5_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (Dolma sentinel convention;
+    operators/quality.py) over the deterministic PII-planted corpus:
+    per-kind counts from the ORIGINAL text, then typed-sentinel
+    replacement in email → phone → ip order."""
+    from .operators.quality import pii_signals, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        _pii_corpus_expr().alias("text"),
+    )
+    return redact_pii(pii_signals(docs)).select(
+        "doc_id", "n_email", "n_phone", "n_ip", "text"
+    )
+
+
+def _sql_u5() -> str:
+    """RE2 (DuckDB) cannot express the Java patterns' lookarounds; the
+    oracle uses captured-context equivalents — (^|[^0-9-])(…)([^0-9-]|$)
+    with backref reinsertion — which agree with the lookaround forms on
+    any corpus whose PII candidates are isolated by spaces (this planted
+    corpus is, by construction)."""
+    from .operators.quality import PII_PATTERNS, PII_SENTINELS
+
+    email = PII_PATTERNS["email"].replace("'", "''")
+    # strip the Java lookarounds, re-wrap with RE2 captured context
+    phone_core = r"(\+?1[-. ]?)?(\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}"
+    phone_wrap = r"(^|[^0-9-])(" + phone_core + r")([^0-9-]|$)"
+    octet = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    ip_wrap = (
+        r"(^|[^0-9.])((" + octet + r"\.){3}" + octet + r")([^0-9.]|$)"
+    )
+    em_s, ph_s, ip_s = (
+        PII_SENTINELS["email"],
+        PII_SENTINELS["phone"],
+        PII_SENTINELS["ip"],
+    )
+    return f"""
+WITH {_PII_CORPUS_SQL.strip()}
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{phone_wrap}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{ip_wrap}')) AS BIGINT) AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{email}', '{em_s}', 'g'),
+    '{phone_wrap}', '\\1{ph_s}\\5', 'g'),
+    '{ip_wrap}', '\\1{ip_s}\\6', 'g') AS text
+FROM corpus
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3378,15 +3892,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q_agg_pricing_summary": (q_agg_pricing_summary, SQL_PRICING),
     "q_join_top_customers": (q_join_top_customers, SQL_TOP_CUSTOMERS),
     "q_join_part_type_revenue": (q_join_part_type_revenue, SQL_PART_TYPE_REVENUE),
-    "q_semijoin_order_priority": (q_semijoin_order_priority, SQL_ORDER_PRIORITY),
     "q_window_running_lag": (q_window_running_lag, SQL_RUNNING_LAG),
-    "q_topk_events": (q_topk_events, SQL_TOPK_EVENTS),
-    "q_distinct_daily_users": (q_distinct_daily_users, SQL_DAILY_USERS),
+    "q_topk_daily_users": (q_topk_daily_users, SQL_TOPK_DAILY),
     "q_setops_priority_customers": (q_setops_priority_customers, SQL_SETOPS),
     "q_join3_region_revenue": (q_join3_region_revenue, SQL_JOIN3),
     "q_salted_event_agg": (q_salted_event_agg, SQL_EVENT_AGG),
     "x1_grounding_scan": (x1_grounding_scan, SQL_X1),
-    "x2_span_classify": (x2_span_classify, SQL_X2),
     "x3_det_parse_rescale": (x3_det_parse_rescale, SQL_X3B),
     "x5b_media_ref_multipage": (x5b_media_ref_multipage, SQL_X5B),
     "x6_clean_rewrite": (x6_clean_rewrite, SQL_X6),
@@ -3394,11 +3905,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f1b_ngram_suppress": (f1b_ngram_suppress, SQL_F1B),
     "f2_eos_page_gate": (f2_eos_page_gate, SQL_F2),
     "t5_page_concat": (t5_page_concat, SQL_T5),
-    "a1_token_fingerprint": (a1_token_fingerprint, SQL_A1),
+    "a1_token_quality": (a1_token_quality, SQL_A1),
     "c1_corpus_clean": (c1_corpus_clean, SQL_C1),
-    "a2_quality_langid": (a2_quality_langid, SQL_A2),
     "d1_exact_dedup": (d1_exact_dedup, SQL_D1),
-    "e1_embedding_norm": (e1_embedding_norm, SQL_E1),
     "t3_formula_clean": (t3_formula_clean, SQL_T3),
     "t6_locate_spans": (t6_locate_spans, SQL_T6),
     "p1_tile_planner": (p1_tile_planner, _sql_p1()),
@@ -3413,6 +3922,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d4_simhash": (d4_simhash, _sql_d4()),
     "d5_embedding_dup": (d5_embedding_dup, _sql_d5()),
     "d6_dup_clusters": (d6_dup_clusters, _sql_d6()),
+    "u1_substring_dedup": (u1_substring_dedup, _sql_u1()),
+    "u2_repetition_signals": (u2_repetition_signals, _sql_u2()),
+    "u3_decontaminate": (u3_decontaminate, _sql_u3()),
+    "u4_semantic_dedup": (u4_semantic_dedup, _sql_u4()),
+    "u5_redact_pii": (u5_redact_pii, _sql_u5()),
     "s1_knn_bruteforce": (s1_knn_bruteforce, SQL_S1),
     "s2_knn_lsh": (s2_knn_lsh, _sql_s2()),
     "s3_knn_ivf": (s3_knn_ivf, _sql_s3()),

@@ -382,29 +382,37 @@ def test_shingle_and_ngram_folds_match_naive_python(spark):
 
 
 def test_topk_ranks_on_rounded_value(spark, tmp_path):
-    """q_topk_events must rank on the ROUNDED value with id tiebreak
-    (CLAUDE.md rule 2): DuckDB's ORDER BY binds to the rounded alias, so
-    ranking raw Spark-side diverges when sub-1e-6 raw differences
-    straddle the LIMIT boundary in the opposite order of event_id
-    (code-review r3 finding). Driver testdata never ties at 6 decimals,
-    so this plants the tie."""
+    """q_topk_daily_users must rank on the ROUNDED value with id
+    tiebreak (CLAUDE.md rule 2): DuckDB's ORDER BY binds to the rounded
+    alias, so ranking raw Spark-side diverges when sub-1e-6 raw
+    differences straddle the LIMIT boundary in the opposite order of
+    event_id (code-review r3 finding). Driver testdata never ties at 6
+    decimals, so this plants the tie."""
+    import datetime
+
     from deepseek_ocr_spark import queries as Q
 
-    rows = [(i, "click", 1.0 - i * 0.001) for i in range(90)] + [
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(i, 7, "click", 1.0 - i * 0.001, ts) for i in range(90)] + [
         # 30-way tie at round(,6): raw values INCREASE with event_id, so
         # raw-ranking would keep ids 110-119; rounded-ranking keeps 90-99
-        (i, "click", 0.5 + (i - 90) * 1e-9)
+        (i, 7, "click", 0.5 + (i - 90) * 1e-9, ts)
         for i in range(90, 120)
     ]
-    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, ts timestamp",
+    )
     p = str(tmp_path / "events.parquet")
     df.write.mode("overwrite").parquet(p)
-    got = [tuple(r) for r in Q.q_topk_events(spark, str(tmp_path)).collect()]
+    got = [
+        tuple(r) for r in Q.q_topk_daily_users(spark, str(tmp_path)).collect()
+    ]
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{p}/*.parquet'")
-    exp = con.execute(Q.SQL_TOPK_EVENTS).fetchall()
-    assert sorted(got) == sorted(exp)
-    kept_tied = sorted(i for i, _, _ in got if i >= 90)
+    exp = con.execute(Q.SQL_TOPK_DAILY).fetchall()
+    assert sorted(map(repr, got)) == sorted(map(repr, exp))
+    kept_tied = sorted(r[0] for r in got if r[0] >= 90)
     assert kept_tied == list(range(90, 100)), kept_tied
 
 
