@@ -285,6 +285,48 @@ def main() -> None:
         n_probe=_S3_PROBE,
         seed_base=_S3_BASE,
     ).collect()[0]["scan_fraction"]
+    # planted-neighbor query recall (VERDICT r4 #6): the headline
+    # ann_recall_lsh uses UNIFORM-random queries, whose top-5 by cosine
+    # is information-theoretically invisible to any sublinear index —
+    # on an isotropic corpus every candidate subset of fraction f keeps
+    # ~f of the "true" neighbors, so recall ≈ scan fraction (BENCH.md).
+    # When a true near neighbor EXISTS (the production near-dup case),
+    # the SAME index at the SAME scan fraction must find it: queries =
+    # dyadically perturbed copies of every 10th corpus vector (cos ≈ 1
+    # to their source), recall@5 = fraction whose source vector is
+    # returned.
+    from deepseek_ocr_spark.operators.similarity import lsh_topk
+
+    _pv = F.col("vec_id")
+    _pfac = F.lit(1.0) + ((_pv % 7) - 3).cast("double") / F.lit(1024.0)
+    _pshift = ((_pv % 3) - 1).cast("double") / F.lit(64.0)
+    planted_q = (
+        emb.filter(_pv % 10 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double") * _pfac + _pshift
+            ).alias("embedding"),
+        )
+        .select((_pv + 1_000_000).alias("vec_id"), "embedding")
+    )
+    n_pq = planted_q.count()
+    planted_hits = (
+        lsh_topk(
+            emb,
+            planted_q,
+            k=5,
+            n_planes=_S2_PLANES,
+            n_probe=_S2_PROBE,
+            n_tables=_S2_TABLES,
+            dim=64,
+        )
+        .filter(F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+        .select("query_id")
+        .distinct()
+        .count()
+    )
+    result["ann_recall_lsh_planted"] = round(planted_hits / n_pq, 4)
     # build-once-probe-many path (VERDICT r3 #4): probe a PERSISTED
     # cell-partitioned index — the vector-store shape whose cost scales
     # with the query batch, not the corpus. Index build is cached like
@@ -446,6 +488,39 @@ def main() -> None:
         best = min(best, time.time() - t0)
     result["substring_dedup_sec"] = round(best, 3)
     result["substring_dedup_flagged_intervals"] = n_flagged
+    _opcache.release()
+
+    # the composed curation job (VERDICT r4 #4): redact → repetition
+    # gate → minhash dedup + cluster collapse → substring excision, one
+    # flagship pipeline over the flattened interleaved corpus. It is a
+    # multi-stage job with its own internal materializations (every
+    # stage localCheckpoints), so one honest cold run is the measurement
+    # — min-of-N would mostly re-time the JIT-warm later stages. Caches
+    # released first; per-stage seconds come from the job's own stats.
+    import shutil
+    import tempfile
+
+    from deepseek_ocr_spark.jobs import run_curation_job
+
+    flat_path = _corpus_path("flatdocs", N_DOCS)
+    if not _corpus_ready(flat_path):
+        flat_docs.write.mode("overwrite").parquet(flat_path)
+    cur_out = tempfile.mkdtemp(prefix="bench_curation_")
+    try:
+        _opcache.release()
+        t0 = time.time()
+        cur_stats = run_curation_job(spark, flat_path, cur_out)
+        result["curation_job_sec"] = round(time.time() - t0, 3)
+        result["curation_job_docs_per_sec"] = round(
+            cur_stats["docs_in"] / result["curation_job_sec"], 1
+        )
+        for k, v in cur_stats.items():
+            if k.startswith("sec_"):
+                result[f"curation_{k}"] = v
+        result["curation_docs_in"] = cur_stats["docs_in"]
+        result["curation_docs_out"] = cur_stats["docs_out"]
+    finally:
+        shutil.rmtree(cur_out, ignore_errors=True)
     _opcache.release()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":

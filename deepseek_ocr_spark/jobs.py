@@ -340,6 +340,8 @@ def run_curation_job(
     localCheckpoint so counts don't re-run upstream stages and lineage
     stays shallow (rule-17 discipline: all reads precede the write).
     Expected input columns: (doc_id, text)."""
+    import time as _time
+
     from .operators.dedup import collapse_duplicates, minhash_lsh_pairs
     from .operators.quality import redact_pii, repetition_signals
     from .operators.substring_dedup import (
@@ -351,7 +353,13 @@ def run_curation_job(
     docs = spark.read.parquet(input_path).select("doc_id", "text")
     stats["docs_in"] = docs.count()
 
-    # 1. PII redaction (pure codegen map — no shuffle)
+    # per-stage wall seconds: each stage ends at its localCheckpoint +
+    # count, so the stamps bracket real materialized work (BENCH.md
+    # reports these as the curation job's stage breakdown)
+    t0 = _time.time()
+
+    # 1. PII redaction (pure codegen map — no shuffle; materializes
+    #    inside the repetition-gate checkpoint below)
     docs = redact_pii(docs)
 
     # 2. repetition gate (Gopher thresholds)
@@ -363,6 +371,8 @@ def run_curation_job(
         .localCheckpoint()
     )
     stats["after_repetition_gate"] = docs.count()
+    stats["sec_redact_repetition"] = round(_time.time() - t0, 3)
+    t0 = _time.time()
 
     # 3. near-dup pairs → transitive clusters → canonical survivors
     pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
@@ -373,9 +383,13 @@ def run_curation_job(
         .localCheckpoint()
     )
     stats["after_dedup"] = docs.count()
+    stats["sec_dedup_collapse"] = round(_time.time() - t0, 3)
+    t0 = _time.time()
 
     # 4. cross-doc duplicated-passage excision (keep-first)
     docs = suppress_duplicate_substrings(docs, n=substring_n).localCheckpoint()
+    stats["sec_substring_excision"] = round(_time.time() - t0, 3)
+    t0 = _time.time()
 
     # 5. benchmark decontamination (whole-doc drop, published default)
     if benchmark_path is not None:
@@ -387,12 +401,15 @@ def run_curation_job(
             .localCheckpoint()
         )
         stats["after_decontamination"] = docs.count()
+        stats["sec_decontamination"] = round(_time.time() - t0, 3)
+        t0 = _time.time()
 
     docs.write.mode("overwrite").parquet(f"{output_dir}/corpus")
     stats["docs_out"] = docs.count()
     stats["tokens_out"] = docs.select(
         F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("t")
     ).collect()[0]["t"]
+    stats["sec_write"] = round(_time.time() - t0, 3)
     return stats
 
 
