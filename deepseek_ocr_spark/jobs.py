@@ -413,6 +413,93 @@ def run_curation_job(
     return stats
 
 
+def run_training_prep_job(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    domain_col: str = "lang",
+    alpha: float = 0.5,
+    budget_docs: int | None = None,
+    holdout_frac: float = 0.01,
+    seq_budget: int = 2048,
+) -> dict:
+    """Curated corpus → training-ready shards: the stage AFTER
+    run_curation_job. (1) carve the eval holdout FIRST (hash-range
+    split — membership never churns as the corpus grows, so later
+    slices can't leak into eval); (2) temperature-mix domains over the
+    train split (alpha-sampling; rates > 1 upsample low-resource
+    domains as extra epochs); (3) count tokens and pack into
+    fixed-budget training sequences. Writes {out}/holdout, {out}/mixed,
+    {out}/packs; returns per-stage counts + seconds.
+
+    Every sampling decision is deterministic in the data
+    (operators/mixing.py) — a retried task, a re-run job, or another
+    engine reproduces the identical corpus. Scale shape: two narrow
+    map/filter stages + one bounded domain count + packing's single
+    exchange; rule-17 discipline (localCheckpoint before writes).
+    Expected input columns: (doc_id, text, <domain_col>)."""
+    import time as _time
+
+    from .operators.mixing import holdout_split, mix_corpus
+    from .operators.packing import pack_sequences
+
+    stats: dict = {}
+    docs = spark.read.parquet(input_path).select(
+        "doc_id", "text", domain_col
+    )
+    stats["docs_in"] = docs.count()
+    t0 = _time.time()
+
+    tagged = holdout_split(docs, holdout_frac).localCheckpoint()
+    holdout = tagged.filter(F.col("split") == "holdout").drop("split")
+    train = tagged.filter(F.col("split") == "train").drop("split")
+    stats["holdout_docs"] = holdout.count()
+    stats["train_docs"] = train.count()
+    stats["sec_holdout_split"] = round(_time.time() - t0, 3)
+    t0 = _time.time()
+
+    mixed = mix_corpus(
+        train, domain_col=domain_col, alpha=alpha, budget=budget_docs
+    ).localCheckpoint()
+    stats["mixed_docs"] = mixed.count()
+    stats["sec_mix"] = round(_time.time() - t0, 3)
+    t0 = _time.time()
+
+    # epochs are distinct rows of the same doc: pack on a per-copy key
+    # so the fill window orders deterministically (doc_id alone ties)
+    counted = mixed.select(
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+        ).alias("pack_key"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    packs = pack_sequences(
+        counted, budget=seq_budget, count_col="n_tokens", id_col="pack_key"
+    ).localCheckpoint()
+    agg = packs.agg(
+        F.count("*").alias("packs"),
+        F.sum("total_tokens").alias("tokens_packed"),
+        F.round(
+            F.avg(F.when(~F.col("oversize"), F.col("utilization"))), 6
+        ).alias("mean_utilization"),
+        F.sum(F.col("oversize").cast("int")).alias("oversize_packs"),
+    ).collect()[0]
+    stats.update(
+        packs=agg["packs"],
+        tokens_packed=agg["tokens_packed"],
+        mean_utilization=agg["mean_utilization"],
+        oversize_packs=agg["oversize_packs"],
+    )
+    stats["sec_pack"] = round(_time.time() - t0, 3)
+    t0 = _time.time()
+
+    holdout.write.mode("overwrite").parquet(f"{output_dir}/holdout")
+    mixed.write.mode("overwrite").parquet(f"{output_dir}/mixed")
+    packs.write.mode("overwrite").parquet(f"{output_dir}/packs")
+    stats["sec_write"] = round(_time.time() - t0, 3)
+    return stats
+
+
 def locate_job(
     spark: SparkSession, input_path: str, label: str
 ) -> DataFrame:

@@ -2,10 +2,12 @@
 
     spark-submit --py-files dist/deepseek_ocr_spark.zip run_extract.py \
         --input <documents-or-pages parquet> --output <dir> \
-        --job spans|pages|locate|dedup|cluster [--label title] [--no-resume] \
-        [--partitions N]   (--output is the signature-store dir for
-        dedup/cluster; cluster consolidates the store's dup log into
-        transitive duplicate clusters and ignores --input)
+        --job spans|pages|locate|dedup|cluster|curate|trainprep \
+        [--label title] [--no-resume] [--partitions N]
+        (--output is the signature-store dir for dedup/cluster; cluster
+        consolidates the store's dup log into transitive duplicate
+        clusters and ignores --input; trainprep turns a curated corpus
+        into holdout + temperature-mixed + packed training shards)
 
 Local run: python run_extract.py --input ... --output ... --job spans
 """
@@ -23,7 +25,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=False)
     ap.add_argument(
         "--job",
-        choices=["spans", "pages", "locate", "dedup", "cluster", "curate"],
+        choices=[
+            "spans", "pages", "locate", "dedup", "cluster", "curate",
+            "trainprep",
+        ],
         default="spans",
     )
     ap.add_argument("--label", default="title", help="span kind for --job locate")
@@ -68,6 +73,12 @@ def main(argv: list[str] | None = None) -> int:
         if not args.output:
             ap.error("--output (the signature-store dir) required for --job cluster")
         print(json.dumps(jobs.run_cluster_job(spark, args.output)))
+    elif args.job == "trainprep":
+        if not args.output:
+            ap.error("--output required for --job trainprep")
+        print(
+            json.dumps(jobs.run_training_prep_job(spark, args.input, args.output))
+        )
     elif args.job == "curate":
         if not args.output:
             ap.error("--output required for --job curate")

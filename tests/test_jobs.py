@@ -239,3 +239,75 @@ def test_curation_job_end_to_end(spark):
         assert out[6] == u("d", 100)                 # second site excised
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_training_prep_job_end_to_end(spark):
+    """Curated corpus -> holdout + temperature-mixed + packed shards:
+    holdout partition is exact and stable, the small domain is
+    upsampled (epoch rows) while the big one is subsampled, every
+    mixed row lands in exactly one pack, and the whole job is
+    deterministic (two runs, identical mixed multiset)."""
+    base = tempfile.mkdtemp(prefix="trainprep_")
+    try:
+        rows = [
+            (i, " ".join(f"w{i}_{j}" for j in range(30)),
+             "big" if i < 400 else "small")
+            for i in range(440)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.parquet(f"{base}/in")
+        stats = jobs.run_training_prep_job(
+            spark,
+            f"{base}/in",
+            f"{base}/out",
+            alpha=0.0,  # uniform over domains: small gets rate ~5.5x
+            holdout_frac=0.1,
+            seq_budget=100,  # 30-token docs -> 3 docs/pack, util 0.9
+        )
+        assert stats["docs_in"] == 440
+        assert stats["holdout_docs"] + stats["train_docs"] == 440
+        assert 15 <= stats["holdout_docs"] <= 75  # 10% of 440, hash-exact
+        mixed = spark.read.parquet(f"{base}/out/mixed")
+        m = mixed.groupBy("lang").count().collect()
+        shares = {r["lang"]: r["count"] for r in m}
+        # alpha=0 rebalances toward uniform: small's share rises from
+        # ~9% toward ~50%
+        assert shares["small"] / stats["mixed_docs"] > 0.3
+        assert mixed.filter("epoch > 0").count() > 0  # real upsampling
+        # holdout and mixed never overlap
+        hold_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{base}/out/holdout").collect()
+        }
+        assert not hold_ids & {r["doc_id"] for r in mixed.collect()}
+        # packing partitions the mixed rows exactly
+        packs = spark.read.parquet(f"{base}/out/packs")
+        from pyspark.sql import functions as F
+
+        assert (
+            packs.agg(F.sum("n_docs")).collect()[0][0] == stats["mixed_docs"]
+        )
+        keys = packs.select(F.explode("doc_ids").alias("k")).collect()
+        assert len(keys) == len({r["k"] for r in keys}) == stats["mixed_docs"]
+        # contiguous-fill bound: every pack total < budget + one doc
+        assert packs.filter("total_tokens >= 100 + 30").count() == 0
+        assert stats["oversize_packs"] == 0
+        assert 0.5 < stats["mean_utilization"] <= 1.0
+        # determinism: identical mixed multiset on a re-run
+        stats2 = jobs.run_training_prep_job(
+            spark, f"{base}/in", f"{base}/out2",
+            alpha=0.0, holdout_frac=0.1, seq_budget=100,
+        )
+        assert stats2["mixed_docs"] == stats["mixed_docs"]
+        a = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in spark.read.parquet(f"{base}/out/mixed").collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["epoch"])
+            for r in spark.read.parquet(f"{base}/out2/mixed").collect()
+        )
+        assert a == b
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -205,6 +205,19 @@ def test_negative_rate_raises(spark, sf_dir):
         deterministic_sample(_docs(spark, sf_dir), -0.1)
 
 
+def test_sampling_plan_is_shuffle_free(spark, sf_dir):
+    """The sampling/upsampling gate is a narrow map+filter+explode —
+    zero Exchange, zero Python (pure codegen md5/conv arithmetic). The
+    only aggregation in the mixing layer is mix_corpus's bounded domain
+    count, which is driver-side and outside this plan."""
+    out = apply_domain_rates(
+        _docs(spark, sf_dir), {"en": 0.5, "zh": 2.5}, domain_col="lang"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_sample_key_range(spark, sf_dir):
     stats = (
         _docs(spark, sf_dir)
