@@ -132,7 +132,11 @@ def temperature_rates(
     if budget is None:
         budget = total
     q = {d: (n / total) ** alpha if n else 0.0 for d, n in counts.items()}
-    z = sum(q.values())
+    # sum in sorted-domain order: float addition is order-sensitive, and
+    # `counts` arrives in collect() row order (partitioning-dependent) —
+    # an unsorted sum could differ in the last ulp between runs and flip
+    # a knife-edge integer threshold downstream
+    z = sum(q[d] for d in sorted(q, key=str))
     return {d: (budget * q[d] / z / counts[d]) if counts[d] else 0.0 for d in counts}
 
 

@@ -1476,14 +1476,21 @@ def p2_dynamic_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 dynamic tiling: resize page to (640·w, 640·h), emit one row
     per crop tile in row-major order with its pixel box
     (image_process.py:45-83 dynamic_preprocess) — the partitioned-scan-
-    with-deterministic-split-points analogue."""
+    with-deterministic-split-points analogue. Carries the full P1 grid
+    plan (width/height/w_tiles/h_tiles/n_tiles/vision_tokens, repeated
+    per tile) so one gate row verifies P1+P2+P3 together — every page
+    appears (the P3 small-image bypass plans exactly 1 tile)."""
     from .operators.tiling import IMAGE_SIZE
 
     planned = p1_tile_planner(spark, sf_dir)
     tiles = planned.select(
         "doc_id",
+        "width",
+        "height",
         "w_tiles",
         "h_tiles",
+        "n_tiles",
+        "vision_tokens",
         F.posexplode(
             F.sequence(F.lit(0), (F.col("n_tiles") - 1).cast("int"))
         ).alias("tile_id", "_t"),
@@ -1492,6 +1499,12 @@ def p2_dynamic_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = F.floor(F.col("tile_id") / F.col("w_tiles")).cast("bigint")
     return tiles.select(
         "doc_id",
+        "width",
+        "height",
+        "w_tiles",
+        "h_tiles",
+        "n_tiles",
+        "vision_tokens",
         F.col("tile_id").cast("bigint").alias("tile_id"),
         (i * IMAGE_SIZE).alias("tx1"),
         (j * IMAGE_SIZE).alias("ty1"),
@@ -1508,7 +1521,8 @@ def _sql_p2() -> str:
     # silently drop the extra tiles from the expected rows
     return f"""
 WITH p1 AS ({_sql_p1()})
-SELECT doc_id, CAST(r.range AS BIGINT) AS tile_id,
+SELECT doc_id, width, height, w_tiles, h_tiles, n_tiles, vision_tokens,
+  CAST(r.range AS BIGINT) AS tile_id,
   CAST((r.range % w_tiles) * {IMAGE_SIZE} AS BIGINT) AS tx1,
   CAST((r.range // w_tiles) * {IMAGE_SIZE} AS BIGINT) AS ty1,
   CAST((r.range % w_tiles + 1) * {IMAGE_SIZE} AS BIGINT) AS tx2,
@@ -3872,6 +3886,90 @@ FROM corpus
 """
 
 
+# Fixed per-domain sampling rates for the u6 gate query. Constants (not
+# data-derived) so the oracle can inline the EXACT integer thresholds
+# Python computes — the gate then has zero float arithmetic on either
+# engine at any sf. The data-dependent rate derivation
+# (mixing.temperature_rates) is pure driver arithmetic, unit-tested
+# without Spark. Rates chosen to hit every gate regime: subsample
+# (0.4, 0.625), exact keep (1.0), and fractional epoch upsample
+# (1.75, 2.5).
+U6_RATES = {"en": 0.4, "fr": 0.625, "de": 1.0, "zh": 1.75, "es": 2.5}
+U6_HOLDOUT = 0.05
+
+
+def u6_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (operators/mixing.py): hash-range
+    holdout split carved FIRST, then per-domain temperature sampling
+    with epoch upsampling over the train split. Every row's fate is a
+    pure function of (doc_id, salt) via the rule-12 portable 28-bit
+    hash — any engine reproduces the identical sample (the property
+    `df.sample(seed)` lacks: its per-partition-index seeding makes task
+    retries non-reproducible). Zero shuffle: tag + when-chain gate +
+    epoch explode + union are all narrow (plan-pinned).
+
+    Reference anchor: decode-time temperature sampling
+    (mlx_port/inference/generation_mlx.py:50-183) replaced per
+    north_star by its training-corpus analogue (mT5/XLM-R
+    alpha-sampling; Rae et al. 2021 §A3 mixture tables)."""
+    from .operators.mixing import apply_domain_rates, holdout_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    )
+    tagged = holdout_split(docs, U6_HOLDOUT)
+    mixed = apply_domain_rates(
+        tagged.filter(F.col("split") == "train").drop("split"), U6_RATES
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("epoch").cast("int").alias("epoch"),
+        F.lit("train").alias("split"),
+    )
+    holdout = tagged.filter(F.col("split") == "holdout").select(
+        "doc_id", "lang", F.lit(-1).cast("int").alias("epoch"), "split"
+    )
+    return mixed.unionByName(holdout)
+
+
+def _sql_u6() -> str:
+    """Thresholds are inlined integer literals computed by the SAME
+    Python (_rate_to_copies) the Spark side uses — valid at any sf
+    because U6_RATES/U6_HOLDOUT are constants, not data-derived. Both
+    engines then compare 28-bit md5-prefix integers; no float reaches
+    the gate."""
+    from .operators.mixing import _rate_to_copies
+
+    _, hthr = _rate_to_copies(U6_HOLDOUT)
+    vals = ", ".join(
+        f"('{lang}', {b}, {t})"
+        for lang, (b, t) in sorted(
+            (lang, _rate_to_copies(rate)) for lang, rate in U6_RATES.items()
+        )
+    )
+    max_copies = max(int(r) + 1 for r in U6_RATES.values())
+    return f"""
+WITH keyed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':holdout'), 1, 7))::BIGINT AS hk,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 7))::BIGINT AS mk
+  FROM documents
+),
+rates(lang, base_copies, thr) AS (VALUES {vals}),
+train AS (
+  SELECT k.doc_id, k.lang,
+    r.base_copies + CASE WHEN k.mk < r.thr THEN 1 ELSE 0 END AS n
+  FROM keyed k JOIN rates r USING (lang)
+  WHERE k.hk >= {hthr}
+)
+SELECT doc_id, lang, CAST(r.range AS INT) AS epoch, 'train' AS split
+FROM train, range(0, {max_copies}) r WHERE r.range < n
+UNION ALL
+SELECT doc_id, lang, CAST(-1 AS INT) AS epoch, 'holdout' AS split
+FROM keyed WHERE hk < {hthr}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3910,7 +4008,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "d1_exact_dedup": (d1_exact_dedup, SQL_D1),
     "t3_formula_clean": (t3_formula_clean, SQL_T3),
     "t6_locate_spans": (t6_locate_spans, SQL_T6),
-    "p1_tile_planner": (p1_tile_planner, _sql_p1()),
+    # p1 merged into p2 (r5): the tile table carries the full page-grain
+    # grid plan, so one slot verifies P1+P2+P3; p1_tile_planner stays as
+    # the operator entry point (plan-pinned in test_plan_shapes).
     "p2_dynamic_tiling": (p2_dynamic_tiling, _sql_p2()),
     "p4_pad_token_layout": (p4_pad_token_layout, _sql_p4()),
     "p5_normalize": (p5_normalize, SQL_P5),
@@ -3927,6 +4027,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "u3_decontaminate": (u3_decontaminate, _sql_u3()),
     "u4_semantic_dedup": (u4_semantic_dedup, _sql_u4()),
     "u5_redact_pii": (u5_redact_pii, _sql_u5()),
+    "u6_corpus_mix": (u6_corpus_mix, _sql_u6()),
     "s1_knn_bruteforce": (s1_knn_bruteforce, SQL_S1),
     "s2_knn_lsh": (s2_knn_lsh, _sql_s2()),
     "s3_knn_ivf": (s3_knn_ivf, _sql_s3()),

@@ -92,10 +92,21 @@ def test_tile_planner_zero_shuffle(spark):
     """r3: the 13-candidate grid argmin is an array fold, not
     explode→window — p1/p2/p4 must stay Scan→Project (the former shape
     repartitioned N×13 rows by every page column)."""
-    for name in ("p1_tile_planner", "p4_pad_token_layout"):
-        plan = _plan(Q.REGISTRY[name][0](spark, SF_DIR))
-        assert "Exchange" not in plan, name
-        assert "Window" not in plan, name
+    # p1 left the registry in r5 (merged into p2's tile grain) but stays
+    # the plan-pinned operator entry point
+    for fn in (Q.p1_tile_planner, Q.p2_dynamic_tiling, Q.p4_pad_token_layout):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "Exchange" not in plan, fn.__name__
+        assert "Window" not in plan, fn.__name__
+
+
+def test_corpus_mix_zero_shuffle(spark):
+    """u6: holdout tag + domain-rate gate + epoch explode + union are
+    all narrow — no Exchange, no Python anywhere in the plan (the md5
+    gate is pure codegen)."""
+    plan = _plan(Q.u6_corpus_mix(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
 
 
 def test_s7_annotation_plan_single_doc_exchange(spark):
