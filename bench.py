@@ -539,6 +539,43 @@ def main() -> None:
         shutil.rmtree(cur_out, ignore_errors=True)
     _opcache.release()
 
+    # the composed training-prep job (r5): holdout carve → temperature
+    # mix → token count → sequence pack, the stage after curation. Same
+    # honest-cold-run protocol (multi-stage job with internal
+    # localCheckpoints — one cold run, per-stage seconds from the job's
+    # stats). Input = the flat corpus with a deterministic skewed domain
+    # tag (60/20/10/10) so alpha=0.5 genuinely upsamples the tail.
+    from deepseek_ocr_spark.jobs import run_training_prep_job
+
+    tp_in = _corpus_path("flatdocs_lang", N_DOCS)
+    if not _corpus_ready(tp_in):
+        langs = ["en"] * 6 + ["zh", "zh", "de", "fr"]
+        spark.read.parquet(flat_path).withColumn(
+            "lang",
+            F.element_at(
+                F.array(*[F.lit(x) for x in langs]),
+                (F.pmod(F.xxhash64(F.col("doc_id")), 10) + 1).cast("int"),
+            ),
+        ).write.mode("overwrite").parquet(tp_in)
+    tp_out = tempfile.mkdtemp(prefix="bench_trainprep_")
+    try:
+        _opcache.release()
+        t0 = time.time()
+        tp_stats = run_training_prep_job(spark, tp_in, tp_out)
+        result["training_prep_sec"] = round(time.time() - t0, 3)
+        result["training_prep_docs_per_sec"] = round(
+            tp_stats["docs_in"] / result["training_prep_sec"], 1
+        )
+        for k, v in tp_stats.items():
+            if k.startswith("sec_"):
+                result[f"trainprep_{k}"] = v
+        result["trainprep_docs_in"] = tp_stats["docs_in"]
+        result["trainprep_mixed_docs"] = tp_stats["mixed_docs"]
+        result["trainprep_mean_utilization"] = tp_stats["mean_utilization"]
+    finally:
+        shutil.rmtree(tp_out, ignore_errors=True)
+    _opcache.release()
+
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         # north_rule scaling evidence: same job, two cluster sizes (N=8
         # cores vs 4N=32 cores), fresh JVM each. The job must be large
