@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 from .dedup import portable_hash
 
 SAMPLE_SPACE = 1 << 28  # portable_hash range: uniform in [0, 2^28)
-MAX_DOMAINS = 100_000  # the rate map is driver-side + a literal when-chain
+MAX_DOMAINS = 100_000  # the rate map must stay driver-sized
+# when-chain depth bound: beyond this, Catalyst analysis cost on the
+# nested CaseWhen (and eventual codegen/stack limits) outgrows the cost
+# of a broadcast join against the rate table, so apply_domain_rates
+# switches strategy
+WHEN_CHAIN_MAX = 64
 
 
 def sample_key(id_col: Column, salt: str = "mix") -> Column:
@@ -106,7 +111,10 @@ def holdout_split(
     Carve the holdout BEFORE mixing/upsampling."""
     if not (0.0 <= holdout_frac <= 1.0):
         raise ValueError(f"holdout_frac {holdout_frac} outside [0, 1]")
-    _, thr = _rate_to_copies(holdout_frac)
+    # threshold on the FULL fraction, not _rate_to_copies' fractional
+    # part: frac=1.0 must yield thr=2^28 (everything holdout), not the
+    # (base=1, thr=0) copy-split that would silently invert the tag
+    thr = int(round(holdout_frac * SAMPLE_SPACE))
     key = sample_key(F.col(id_col), salt)
     return docs.withColumn(
         "split",
@@ -148,27 +156,48 @@ def apply_domain_rates(
     salt: str = "mix",
 ) -> DataFrame:
     """Sample each row by its domain's rate (see ``deterministic_sample``
-    for gate semantics). The rate map becomes a literal when-chain —
-    pure codegen, no join, no broadcast; rows whose domain is absent
-    from ``rates`` are dropped (rate 0). Output carries ``epoch``."""
+    for gate semantics). Small rate maps (≤ ``WHEN_CHAIN_MAX``) become a
+    literal when-chain — pure codegen, no join, no exchange on the
+    corpus side; larger maps broadcast a tiny (domain, base, thr) table
+    instead (a 10k-deep CaseWhen is an analyzer/codegen hazard, not a
+    win). Either way, rows whose domain is absent from ``rates`` are
+    dropped (rate 0) and the output carries ``epoch``. Both strategies
+    gate on the same integers — results are identical (test-pinned)."""
     if len(rates) > MAX_DOMAINS:
         raise ValueError(
             f"{len(rates)} domains exceed MAX_DOMAINS={MAX_DOMAINS}; a "
             "domain column this wide is an id, not a domain — bucket it "
             "first"
         )
-    dom = F.col(domain_col)
-    base_c: Column = F.lit(0)
-    thr_c: Column = F.lit(0)
-    for d, rate in rates.items():
-        b, t = _rate_to_copies(rate)
-        base_c = F.when(dom == d, F.lit(b)).otherwise(base_c)
-        thr_c = F.when(dom == d, F.lit(t)).otherwise(thr_c)
     key = sample_key(F.col(id_col), salt)
-    n = base_c + (key < thr_c).cast("int")
+    if len(rates) <= WHEN_CHAIN_MAX:
+        dom = F.col(domain_col)
+        base_c: Column = F.lit(0)
+        thr_c: Column = F.lit(0)
+        for d, rate in rates.items():
+            b, t = _rate_to_copies(rate)
+            base_c = F.when(dom == d, F.lit(b)).otherwise(base_c)
+            thr_c = F.when(dom == d, F.lit(t)).otherwise(thr_c)
+        gated = docs.withColumn("_n_copies", base_c + (key < thr_c).cast("int"))
+    else:
+        spark = docs.sparkSession
+        rate_rows = [
+            (d, *_rate_to_copies(r)) for d, r in sorted(rates.items())
+        ]
+        rate_tbl = F.broadcast(
+            spark.createDataFrame(
+                rate_rows, f"{domain_col} string, _base int, _thr bigint"
+            )
+        )
+        gated = (
+            docs.join(rate_tbl, domain_col)  # inner join = drop unlisted
+            .withColumn(
+                "_n_copies", F.col("_base") + (key < F.col("_thr")).cast("int")
+            )
+            .drop("_base", "_thr")
+        )
     return (
-        docs.withColumn("_n_copies", n)
-        .filter(F.col("_n_copies") > 0)
+        gated.filter(F.col("_n_copies") > 0)
         .withColumn(
             "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
         )

@@ -193,6 +193,41 @@ def test_holdout_and_mix_salts_are_independent(spark, sf_dir):
     assert abs(frac - 0.2) < 0.08
 
 
+def test_holdout_boundary_fractions(spark, sf_dir):
+    """frac=1.0 marks EVERYTHING holdout and frac=0.0 nothing — the
+    full fraction reaches the threshold (a copy-split of 1.0 into
+    (base=1, thr=0) would silently tag everything 'train')."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    all_h = holdout_split(docs, 1.0)
+    assert all_h.filter(F.col("split") == "holdout").count() == n
+    none_h = holdout_split(docs, 0.0)
+    assert none_h.filter(F.col("split") == "train").count() == n
+
+
+def test_large_rate_map_join_path_matches_when_chain(spark, sf_dir):
+    """Above WHEN_CHAIN_MAX domains the gate switches to a broadcast
+    join against the rate table; both strategies compare the same
+    integers, so the output (membership AND epochs) is identical."""
+    from deepseek_ocr_spark.operators import mixing
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "dom", (F.col("doc_id") % 100).cast("string")
+    )
+    rates = {str(i): 0.1 + (i % 30) / 10.0 for i in range(100)}
+    big = apply_domain_rates(docs, rates, domain_col="dom")
+    # force the when-chain on the same 100-domain map
+    orig = mixing.WHEN_CHAIN_MAX
+    mixing.WHEN_CHAIN_MAX = 1000
+    try:
+        chain = apply_domain_rates(docs, rates, domain_col="dom")
+    finally:
+        mixing.WHEN_CHAIN_MAX = orig
+    a = sorted(map(tuple, big.select("doc_id", "epoch").collect()))
+    b = sorted(map(tuple, chain.select("doc_id", "epoch").collect()))
+    assert a == b and len(a) > 0
+
+
 def test_domain_guard_raises():
     with pytest.raises(ValueError, match="MAX_DOMAINS"):
         apply_domain_rates(
