@@ -1107,11 +1107,21 @@ def semantic_dedup(
     Returns ``vectors``' rows + (cluster_id, kept): kept=false exactly
     for non-canonical members of a duplicate cluster; cluster_id is
     NULL for vectors with no duplicate."""
+    from ._cache import persist_swap
     from .dedup import collapse_duplicates
 
     if centroids is None:
         centroids = ivf_fit_centroids(vectors, n_cells, seed, vec_col)
-    idx = ivf_index(vectors, centroids, id_col, vec_col)
+    # persist the indexed table: the within-cell self-join evaluates its
+    # input on BOTH sides, and the cell assignment is an interpreted
+    # argmin fold over n_cells centroids (rule 19, ~90 ns/lane-op) —
+    # uncached, the assignment runs 2x for the join plus once more under
+    # the collapse, and its cost GROWS with n_cells, silently punishing
+    # the knob that is supposed to buy scale. Bounded: skinny
+    # (cell, id, vec) rows, corpus-sized like the d3 signature cache.
+    idx = persist_swap(
+        "semdedup_idx", ivf_index(vectors, centroids, id_col, vec_col)
+    )
     pairs = embedding_dup_pairs(
         idx,
         threshold=threshold,

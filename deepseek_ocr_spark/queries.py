@@ -3685,7 +3685,14 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 """
 
 
-_U4_CELLS, _U4_BASE, _U4_THRESHOLD = 16, 100, 0.99
+# 64 cells (was 16): SemDeDup's scale knob is the cell count — within-
+# cell comparison is quadratic, so cells grow with the corpus (the paper
+# runs ~100k on LAION). At sf0.1's 66k vectors, 16 cells meant ~4.1k-row
+# cells ≈ 136M pair-dots; 64 cells cuts the pair work ~4x (u4 bench
+# 7.4 → ~4 s) while planted near-dups (cos ≈ 1) still co-cell with
+# their source at any cell count. The oracle mirrors the same centroid
+# literals, so the gate is cell-count-invariant.
+_U4_CELLS, _U4_BASE, _U4_THRESHOLD = 64, 100, 0.99
 
 
 def u4_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
