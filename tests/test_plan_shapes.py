@@ -173,6 +173,44 @@ def test_jaccard_verify_single_id_broadcast_filters_probe(spark):
     assert not text_ex, text_ex
 
 
+def test_semantic_dedup_pair_join_reads_cached_index(spark):
+    """semantic_dedup's within-cell self-join must read the CACHED
+    indexed table on both sides: the cell assignment is an interpreted
+    argmin fold over n_cells centroids, so an uncached join evaluates
+    it twice (plus once under the collapse) and its cost GROWS with
+    n_cells — the r5 finding where raising SemDeDup's own scale knob
+    made the query slower. Pinned as ≥2 InMemoryTableScans in the pair
+    subtree's plan."""
+    from deepseek_ocr_spark.operators.similarity import (
+        embedding_dup_pairs,
+        ivf_index,
+    )
+    from deepseek_ocr_spark.operators._cache import persist_swap
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0.0, 0.0, 1.0], [4.0, 2.0, 1.0]]
+    idx = persist_swap("semdedup_idx", ivf_index(vecs, cents))
+    pairs = embedding_dup_pairs(
+        idx, threshold=0.5, block_col="cell", id_col="neighbor_id",
+        vec_col="vec",
+    )
+    plan = _plan(pairs)
+    imts = [ln for ln in plan.splitlines() if "InMemoryTableScan" in ln]
+    assert len(imts) >= 2, plan
+    # and the operator itself registers the cache (removing its
+    # persist_swap would leave this composition test green otherwise)
+    from deepseek_ocr_spark.operators import _cache
+    from deepseek_ocr_spark.operators.similarity import semantic_dedup
+
+    _cache.release("semdedup_idx")
+    semantic_dedup(vecs, threshold=0.999, centroids=cents)
+    assert "semdedup_idx" in _cache._live
+    _cache.release("semdedup_idx")
+
+
 def test_p7b_packing_single_exchange_pruned_scan(spark):
     """P7b: the pack fill is ONE Exchange on (_shard, oversize); the
     pack-id groupBy keys are a superset of that partitioning so the
