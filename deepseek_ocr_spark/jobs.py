@@ -263,7 +263,7 @@ def run_cluster_job(spark: SparkSession, store_dir: str) -> dict:
     inside dup_clusters before this job writes to a DIFFERENT path."""
     from pyspark.errors import AnalysisException
 
-    from .operators.dedup import dup_clusters
+    from .operators.dedup import cluster_sizes, dup_clusters
 
     dups_path = f"{store_dir}/dups"
     clusters_path = f"{store_dir}/clusters"
@@ -282,23 +282,7 @@ def run_cluster_job(spark: SparkSession, store_dir: str) -> dict:
     try:
         n_edges = edges.count()
         cl = dup_clusters(edges, a_col="doc_id", b_col="dup_of")
-        # groupBy + join back, not a count window: groupBy gets map-side
-        # partial aggregation, so a pathological giant cluster never
-        # buffers all its rows in one window task (and collect_list's
-        # giant array row is avoided a fortiori)
-        sizes = cl.groupBy("cluster_id").agg(
-            F.count("*").cast("bigint").alias("cluster_size")
-        )
-        out = (
-            cl.join(sizes, "cluster_id")
-            .select(
-                "doc_id",
-                "cluster_id",
-                "cluster_size",
-                (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-            )
-            .localCheckpoint()
-        )
+        out = cluster_sizes(cl).localCheckpoint()
         out.write.mode("overwrite").parquet(clusters_path)
         spark.catalog.refreshByPath(clusters_path)
         stats = out.agg(
@@ -324,6 +308,7 @@ def run_curation_job(
     jaccard_threshold: float = 0.5,
     substring_n: int = 50,
     decontam_n: int = 13,
+    keep_cols: tuple = (),
 ) -> dict:
     """The full published training-corpus curation pipeline as ONE
     composed job (the order FineWeb/Dolma run): PII redaction →
@@ -339,7 +324,11 @@ def run_curation_job(
     hash groupBy — each documented at its operator. Stage boundaries
     localCheckpoint so counts don't re-run upstream stages and lineage
     stays shallow (rule-17 discipline: all reads precede the write).
-    Expected input columns: (doc_id, text)."""
+    Expected input columns: (doc_id, text). ``keep_cols`` names extra
+    metadata columns (e.g. the domain column run_training_prep_job
+    mixes on) carried through every stage into {out}/corpus — every
+    stage operator preserves non-(id, text) columns, so passthrough is
+    just selecting them."""
     import time as _time
 
     from .operators.dedup import collapse_duplicates, minhash_lsh_pairs
@@ -350,7 +339,9 @@ def run_curation_job(
     )
 
     stats: dict = {}
-    docs = spark.read.parquet(input_path).select("doc_id", "text")
+    docs = spark.read.parquet(input_path).select(
+        "doc_id", "text", *keep_cols
+    )
     stats["docs_in"] = docs.count()
 
     # per-stage wall seconds: each stage ends at its localCheckpoint +
@@ -379,7 +370,7 @@ def run_curation_job(
     docs = (
         collapse_duplicates(docs, pairs)
         .filter(F.col("kept"))
-        .select("doc_id", "text")
+        .select("doc_id", "text", *keep_cols)
         .localCheckpoint()
     )
     stats["after_dedup"] = docs.count()
@@ -397,7 +388,7 @@ def run_curation_job(
         docs = (
             decontaminate(docs, bench, n=decontam_n)
             .filter(~F.col("contaminated"))
-            .select("doc_id", "text")
+            .select("doc_id", "text", *keep_cols)
             .localCheckpoint()
         )
         stats["after_decontamination"] = docs.count()

@@ -1148,6 +1148,23 @@ def dup_clusters(
     )
 
 
+def cluster_sizes(clusters: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) → + (cluster_size, is_canonical). groupBy +
+    join back, NOT a count window: groupBy gets map-side partial
+    aggregation, so a pathological giant cluster never buffers all its
+    rows in one window task (ADVICE r4). Shared by d6_dup_clusters and
+    run_cluster_job so the skew posture can't drift between them."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def collapse_duplicates(
     docs: DataFrame,
     pairs: DataFrame,

@@ -50,9 +50,25 @@ def sample_key(id_col: Column, salt: str = "mix") -> Column:
     byte-identical in DuckDB:
     ``('0x' || substr(md5(CAST(id AS VARCHAR) || ':salt'), 1, 7))::BIGINT``.
     Distinct salts give independent gates over the same ids (holdout
-    split vs mixture sampling must not correlate)."""
-    return portable_hash(
-        F.concat(id_col.cast("string"), F.lit(":" + salt))
+    split vs mixture sampling must not correlate).
+
+    NULL ids RAISE (house loud-failure policy, like pack_sequences on
+    NULL counts): md5(NULL||…) is NULL, which would silently fall out
+    of every ``key < thr`` gate — a NULL-id row would vanish from
+    sampling even at rate 2.0 and diverge from the oracle's
+    ``hk >= thr`` complement. An id-less row can't have a stable fate;
+    assign ids upstream."""
+    return F.when(
+        id_col.isNull(),
+        F.raise_error(
+            F.lit(
+                "sample_key: NULL id — deterministic sampling needs a "
+                "non-null id for every row (mixing gates are pure "
+                "functions of the id)"
+            )
+        ).cast("bigint"),
+    ).otherwise(
+        portable_hash(F.concat(id_col.cast("string"), F.lit(":" + salt)))
     )
 
 
@@ -68,6 +84,20 @@ def _rate_to_copies(rate: float) -> tuple[int, int]:
     return base, thr
 
 
+def _explode_epochs(gated: DataFrame, with_epoch: bool = True) -> DataFrame:
+    """Shared gate tail: drop rows with ``_n_copies`` <= 0, optionally
+    explode the 0-based ``epoch`` copy index, drop the helper column.
+    One implementation so the when-chain and broadcast-join strategies
+    (and deterministic_sample) stay provably identical."""
+    out = gated.filter(F.col("_n_copies") > 0)
+    if with_epoch:
+        # the filter guarantees stop >= 0, so the sequence never descends
+        out = out.withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+    return out.drop("_n_copies")
+
+
 def deterministic_sample(
     docs: DataFrame,
     rate: float,
@@ -81,20 +111,19 @@ def deterministic_sample(
     fractional gate. With ``with_epoch`` (required when rate > 1) the
     output gains an ``epoch`` int column (0-based copy index)."""
     base, thr = _rate_to_copies(rate)
-    if base >= 1 and not with_epoch:
+    # raise only if duplication is actually possible: max copies =
+    # base + (1 if thr else 0); rate exactly 1.0 is (1, 0) = a pure
+    # pass-through and must not trip the guard
+    if base + (1 if thr > 0 else 0) >= 2 and not with_epoch:
         raise ValueError(
             f"rate {rate} > 1 duplicates rows; pass with_epoch=True so "
             "copies are distinguishable"
         )
     key = sample_key(F.col(id_col), salt)
     n = F.lit(base) + (key < F.lit(thr)).cast("int")
-    out = docs.withColumn("_n_copies", n).filter(F.col("_n_copies") > 0)
-    if with_epoch:
-        # filter guarantees stop >= 0, so the sequence never descends
-        out = out.withColumn(
-            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
-        )
-    return out.drop("_n_copies")
+    return _explode_epochs(
+        docs.withColumn("_n_copies", n), with_epoch=with_epoch
+    )
 
 
 def holdout_split(
@@ -196,13 +225,7 @@ def apply_domain_rates(
             )
             .drop("_base", "_thr")
         )
-    return (
-        gated.filter(F.col("_n_copies") > 0)
-        .withColumn(
-            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
-        )
-        .drop("_n_copies")
-    )
+    return _explode_epochs(gated)
 
 
 def mix_corpus(

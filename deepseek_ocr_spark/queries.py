@@ -1965,24 +1965,18 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubling, operators/dedup.py:dup_clusters) → one canonical doc per
     TRANSITIVE cluster. Oracle: same pair SQL + a recursive CTE closure.
     Output grain: one row per clustered doc (singletons implicit)."""
-    from .operators.dedup import dup_clusters, minhash_lsh_pairs
+    from .operators.dedup import cluster_sizes, dup_clusters, minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(
         _docs_with_planted_chain(spark, sf_dir),
         jaccard_threshold=0.5,
         hash_mode="portable",
     )
-    cl = dup_clusters(pairs)
-    # groupBy + join, not a count window: partial aggregation spreads a
-    # pathological giant cluster across reducers (ADVICE r4)
-    sizes = cl.groupBy("cluster_id").agg(
-        F.count("*").cast("bigint").alias("cluster_size")
-    )
-    return cl.join(sizes, "cluster_id").select(
+    return cluster_sizes(dup_clusters(pairs)).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
         "cluster_size",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        "is_canonical",
     )
 
 

@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="eval-set parquet for --job curate decontamination (optional)",
     )
+    ap.add_argument(
+        "--keep-cols",
+        default="",
+        help="comma-separated metadata columns --job curate carries "
+        "through to the curated corpus (e.g. 'lang' so --job trainprep "
+        "can mix on it)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
     args = ap.parse_args(argv)
@@ -85,7 +92,13 @@ def main(argv: list[str] | None = None) -> int:
         print(
             json.dumps(
                 jobs.run_curation_job(
-                    spark, args.input, args.output, benchmark_path=args.benchmark
+                    spark,
+                    args.input,
+                    args.output,
+                    benchmark_path=args.benchmark,
+                    keep_cols=tuple(
+                        c for c in args.keep_cols.split(",") if c
+                    ),
                 )
             )
         )

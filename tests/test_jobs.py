@@ -201,18 +201,18 @@ def test_curation_job_end_to_end(spark):
         passage = u("shared", 14)
         bench_text = u("evalq", 20)
         rows = [
-            (1, "contact bob@example.com today " + u("a", 100)),  # PII
-            (2, "spam " * 300),                                    # repetition bomb
-            (3, u("b", 100)),                                      # near-dup canonical
-            (4, u("b", 99) + " CHANGED"),                          # near-dup of 3
-            (5, u("c", 100) + " " + passage),                      # passage, first site
-            (6, u("d", 100) + " " + passage),                      # passage, second site
-            (7, u("e", 50) + " " + bench_text + " " + u("f", 50)),  # contaminated
-            (8, u("g", 100)),                                      # clean
+            (1, "contact bob@example.com today " + u("a", 100), "en"),  # PII
+            (2, "spam " * 300, "en"),                                    # repetition bomb
+            (3, u("b", 100), "en"),                                      # near-dup canonical
+            (4, u("b", 99) + " CHANGED", "en"),                          # near-dup of 3
+            (5, u("c", 100) + " " + passage, "de"),                      # passage, first site
+            (6, u("d", 100) + " " + passage, "de"),                      # passage, second site
+            (7, u("e", 50) + " " + bench_text + " " + u("f", 50), "en"),  # contaminated
+            (8, u("g", 100), "fr"),                                      # clean
         ]
-        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
-            f"{base}/in"
-        )
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.parquet(f"{base}/in")
         spark.createDataFrame(
             [(0, bench_text)], "doc_id long, text string"
         ).write.parquet(f"{base}/bench")
@@ -223,6 +223,7 @@ def test_curation_job_end_to_end(spark):
             benchmark_path=f"{base}/bench",
             substring_n=8,
             decontam_n=8,
+            keep_cols=("lang",),
         )
         assert stats["docs_in"] == 8
         assert stats["after_repetition_gate"] == 7   # doc 2 dropped
@@ -237,6 +238,20 @@ def test_curation_job_end_to_end(spark):
         assert "|||EMAIL_ADDRESS|||" in out[1] and "bob@" not in out[1]
         assert out[5].endswith(passage)              # first site kept
         assert out[6] == u("d", 100)                 # second site excised
+        # keep_cols carried the domain column through every stage …
+        langs = {
+            r["doc_id"]: r["lang"]
+            for r in spark.read.parquet(f"{base}/out/corpus").collect()
+        }
+        assert langs == {1: "en", 3: "en", 5: "de", 6: "de", 8: "fr"}
+        # … so the documented composition runs: curate → trainprep on
+        # the CURATED corpus (this used to throw UNRESOLVED_COLUMN)
+        tp = jobs.run_training_prep_job(
+            spark, f"{base}/out/corpus", f"{base}/prep", holdout_frac=0.2
+        )
+        assert tp["docs_in"] == 5
+        assert tp["holdout_docs"] + tp["train_docs"] == 5
+        assert tp["packs"] >= 1
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -98,6 +98,35 @@ def test_rate_above_one_requires_epoch_flag(spark, sf_dir):
         deterministic_sample(_docs(spark, sf_dir), 1.5)
 
 
+def test_rate_exactly_one_is_a_passthrough(spark, sf_dir):
+    """rate=1.0 is (base=1, thr=0) — exactly one copy of every row, no
+    duplication possible, so the with_epoch guard must NOT fire and the
+    output is the input."""
+    docs = _docs(spark, sf_dir)
+    out = deterministic_sample(docs, 1.0)
+    assert out.count() == docs.count()
+    assert "epoch" not in out.columns
+
+
+def test_null_id_raises_loudly(spark):
+    """md5(NULL) is NULL, so a NULL id would silently fall out of every
+    hash gate (even at rate 2.0) and diverge from the oracle's
+    complement filter — the gate raises instead (house policy)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    docs = spark.createDataFrame(
+        [("a", "en"), (None, "en")], "doc_id string, lang string"
+    )
+    for lazy in (
+        deterministic_sample(docs, 0.5),
+        holdout_split(docs),
+        apply_domain_rates(docs, {"en": 0.5}),
+    ):
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+            lazy.collect()
+
+
 def test_sample_rate_statistically_close(spark, sf_dir):
     """The 28-bit key is uniform: realized rate within a few points of
     the nominal one on the sf corpus."""
