@@ -72,3 +72,36 @@ def test_packing_utilization_and_stats(spark, counted_docs):
 def test_packing_rejects_bad_budget(spark, counted_docs):
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(counted_docs, 0)
+
+
+def test_adaptive_shards_scales_with_corpus():
+    from deepseek_ocr_spark.operators.packing import (
+        DEFAULT_SHARDS,
+        adaptive_shards,
+    )
+
+    # tiny corpus: one shard (≈12 ideal packs can't feed 256 shards)
+    assert adaptive_shards(25_000, 2048) == 1
+    # mid corpus: shards grow with ideal packs / target_packs_per_shard
+    assert adaptive_shards(2048 * 8 * 40, 2048) == 40
+    # huge corpus: capped at the parallelism bound
+    assert adaptive_shards(10**12, 2048) == DEFAULT_SHARDS
+    # degenerate inputs
+    assert adaptive_shards(0, 2048) == 1
+    with pytest.raises(ValueError, match="budget"):
+        adaptive_shards(1000, 0)
+
+
+def test_adaptive_shards_fixes_small_corpus_utilization(spark):
+    """256 fixed shards on a small corpus leave ~1 near-empty pack per
+    shard (utilization ~0.06); the adaptive shard count restores a
+    filled pack stream. This is what run_training_prep_job does."""
+    from deepseek_ocr_spark.operators.packing import adaptive_shards
+
+    docs = spark.createDataFrame(
+        [(i, 64) for i in range(400)], "doc_id long, n_tokens long"
+    )  # 25,600 tokens → 12 ideal packs at budget 2048
+    n = adaptive_shards(400 * 64, 2048)
+    packs = pack_sequences(docs, 2048, n_shards=n)
+    stats = packing_stats(packs, 2048).collect()[0]
+    assert stats["mean_utilization"] >= 0.85, stats
