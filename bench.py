@@ -75,8 +75,34 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# bump when bench-internal corpus derivations (flatdocs, f1deg, lang
+# tagging) change shape; corpus.py edits are caught automatically below
+_GEN_VER = 1
+
+
+def _gen_token() -> str:
+    """Cache-version token: md5 of the generator source + _GEN_VER. A
+    stale /tmp corpus surviving a corpus.py edit would silently bench
+    pre-edit data forever (same kind+n_docs, _SUCCESS present)."""
+    import hashlib
+
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "deepseek_ocr_spark", "corpus.py")
+    with open(src, "rb") as f:
+        h = hashlib.md5(f.read()).hexdigest()[:8]
+    return f"{h}v{_GEN_VER}"
+
+
 def _corpus_path(kind: str, n_docs: int) -> str:
-    return f"/tmp/spark_graft_{kind}_{n_docs}.parquet"
+    return f"/tmp/spark_graft_{kind}_{n_docs}_{_gen_token()}.parquet"
+
+
+# headline corpora are written at this FIXED file count so the writer
+# session's parallelism never leaks into later readers' scan bins: an
+# 8-core first run would otherwise cache an 8-file corpus that a 32-core
+# rerun scans in one ragged wave (the r5 scan-granularity finding, but
+# for the headline suite)
+_LAYOUT_FILES = 64
 
 
 def _corpus_ready(path: str) -> bool:
@@ -93,13 +119,13 @@ def _materialize_corpus(spark, n_docs: int) -> tuple[str, str]:
     docs_p = _corpus_path("documents", n_docs)
     pages_p = _corpus_path("pages", n_docs // 4)
     if not _corpus_ready(docs_p):
-        corpus.spark_documents(spark, seed=42, n_docs=n_docs).write.mode(
-            "overwrite"
-        ).parquet(docs_p)
+        corpus.spark_documents(spark, seed=42, n_docs=n_docs).repartition(
+            _LAYOUT_FILES
+        ).write.mode("overwrite").parquet(docs_p)
     if not _corpus_ready(pages_p):
-        corpus.spark_pages(spark, seed=42, n_docs=n_docs // 4).write.mode(
-            "overwrite"
-        ).parquet(pages_p)
+        corpus.spark_pages(spark, seed=42, n_docs=n_docs // 4).repartition(
+            _LAYOUT_FILES
+        ).write.mode("overwrite").parquet(pages_p)
     return docs_p, pages_p
 
 
@@ -353,11 +379,21 @@ def main() -> None:
         ivf_probe,
     )
 
-    # cache key includes the centroid parameters: a tuned _S3_CELLS/_S3_BASE
-    # must rebuild the index, or the probe would join NEW-centroid query
+    # cache key includes the centroid parameters AND the source-corpus
+    # identity (path + mtime + size of the embeddings parquet): a tuned
+    # _S3_CELLS/_S3_BASE — or a regenerated/retargeted SF_DIR — must
+    # rebuild the index, or the probe would join NEW-centroid query
     # cells against OLD-centroid partitions (silent wrong candidates)
+    import hashlib as _hashlib
+
+    _emb_src = os.path.join(SF_DIR, "embeddings.parquet")
+    _emb_stat = os.stat(_emb_src)
+    _emb_tok = _hashlib.md5(
+        f"{os.path.abspath(_emb_src)}:{_emb_stat.st_mtime_ns}:"
+        f"{_emb_stat.st_size}".encode()
+    ).hexdigest()[:8]
     idx_p = _corpus_path(
-        f"ivf_index_c{_S3_CELLS}_b{_S3_BASE}", int(SF * 1000)
+        f"ivf_index_c{_S3_CELLS}_b{_S3_BASE}_{_emb_tok}", int(SF * 1000)
     )
     cents = _collect_seed_centroids(emb, _S3_CELLS, _S3_BASE, "vec_id", "embedding")
     if not _corpus_ready(idx_p):
@@ -452,7 +488,9 @@ def main() -> None:
     )
     deg_path = _corpus_path("f1deg", n_deg_docs)
     if not _corpus_ready(deg_path):
-        deg_docs.write.mode("overwrite").parquet(deg_path)
+        deg_docs.repartition(_LAYOUT_FILES).write.mode("overwrite").parquet(
+            deg_path
+        )
     deg = spark.read.parquet(deg_path)
     deg.count()  # warm scan
     best = float("inf")
@@ -520,7 +558,9 @@ def main() -> None:
 
     flat_path = _corpus_path("flatdocs", N_DOCS)
     if not _corpus_ready(flat_path):
-        flat_docs.write.mode("overwrite").parquet(flat_path)
+        flat_docs.repartition(_LAYOUT_FILES).write.mode("overwrite").parquet(
+            flat_path
+        )
     cur_out = tempfile.mkdtemp(prefix="bench_curation_")
     try:
         _opcache.release()
@@ -635,9 +675,19 @@ def main() -> None:
                          "2"],
                         capture_output=True,
                         text=True,
-                        check=True,
+                        check=False,
                     )
-                    got = json.loads(out.stdout.strip().splitlines()[-1])
+                    # check=True would discard the captured stderr (the
+                    # Spark stack trace) from the exception; surface it —
+                    # a multi-hour scaling run must not abort opaquely
+                    lines = out.stdout.strip().splitlines()
+                    if out.returncode != 0 or not lines:
+                        raise RuntimeError(
+                            f"scale worker {job}@{cores}c failed "
+                            f"(rc={out.returncode}); stderr tail:\n"
+                            + "\n".join(out.stderr.splitlines()[-30:])
+                        )
+                    got = json.loads(lines[-1])
                     k = str(cores)
                     if best[k] is None or got["sec"] < best[k]["sec"]:
                         best[k] = got
@@ -645,7 +695,6 @@ def main() -> None:
             result[f"scaling{key}"] = best
             result[f"scaling_efficiency_8_to_32{key}"] = round(eff, 3)
             result[f"scaling_docs{key}"] = paths[job][1]
-        result["scaling_docs"] = scale_docs
 
     print(json.dumps(result))
 

@@ -31,8 +31,9 @@ WORDS = (
 ).split()
 
 HOSTS = [f"host{i:02d}.example" for i in range(20)]
-# Zipf-ish host weights: host00 takes ~46% of docs — the skew the salting
-# layer must absorb (north_rule "explicit salting of skewed hosts").
+# Zipf-ish host weights (1/k over 20 hosts): host00 takes 1/H_20 ≈ 28%
+# of docs, ~5.6x its uniform share — the skew the salting layer must
+# absorb (north_rule "explicit salting of skewed hosts").
 _HOST_W = 1.0 / np.arange(1, len(HOSTS) + 1)
 HOST_P = _HOST_W / _HOST_W.sum()
 

@@ -29,16 +29,22 @@ TABLES = (
 
 
 def _norm(v):
+    # normalized forms are TYPE-TAGGED tuples: a float repr'd to '1.5'
+    # must not compare equal to a VARCHAR '1.5' from the other engine
+    # (e.g. an oracle missing its final CAST AS DOUBLE), and Python's
+    # bool-is-int (True == 1) must not hide a boolean/int divergence
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("float", "NaN")
         if STRICT:
-            return repr(v)  # exact: surfaces any cross-engine ulp diff
-        return repr(round(v, 9))
+            return ("float", repr(v))  # exact: surfaces any ulp diff
+        return ("float", repr(round(v, 9)))
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        return ("ts", v.isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return ("date", v.isoformat())
     return v
 
 

@@ -20,7 +20,8 @@ PKG = "deepseek_ocr_spark"
 
 def build(out_path: str | None = None) -> str:
     out_path = out_path or os.path.join(ROOT, "dist", f"{PKG}.zip")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # dirname('bare.zip') is '' and makedirs('') raises — default to cwd
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for dirpath, _, files in os.walk(os.path.join(ROOT, PKG)):
             if "__pycache__" in dirpath:
