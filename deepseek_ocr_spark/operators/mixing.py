@@ -249,6 +249,16 @@ def mix_corpus(
             f"'{domain_col}' — not a domain column"
         )
     counts = {r[0]: r[1] for r in rows}
+    if None in counts:
+        # a NULL domain would inflate the rate normalization (it's in
+        # the counts) yet match NEITHER gate strategy (when-chain `dom
+        # == NULL` is never true; the broadcast inner join drops NULL
+        # keys) — rows silently vanish while skewing everyone's budget
+        raise ValueError(
+            f"mix_corpus: NULL values in domain column '{domain_col}' "
+            f"({counts[None]} rows) — impute or filter them before "
+            "mixing"
+        )
     rates = temperature_rates(counts, alpha=alpha, budget=budget)
     return apply_domain_rates(
         docs, rates, domain_col=domain_col, id_col=id_col, salt=salt

@@ -127,6 +127,17 @@ def test_null_id_raises_loudly(spark):
             lazy.collect()
 
 
+def test_mix_corpus_null_domain_raises(spark):
+    """NULL domains inflate the rate normalization but match neither
+    gate strategy (when-chain equality and inner join both drop NULL) —
+    mix_corpus must refuse instead of silently losing rows."""
+    docs = spark.createDataFrame(
+        [("a", "en"), ("b", None)], "doc_id string, lang string"
+    )
+    with pytest.raises(ValueError, match="NULL values in domain"):
+        mix_corpus(docs)
+
+
 def test_sample_rate_statistically_close(spark, sf_dir):
     """The 28-bit key is uniform: realized rate within a few points of
     the nominal one on the sf corpus."""
