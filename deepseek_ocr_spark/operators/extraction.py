@@ -88,6 +88,17 @@ def _extract_page_udf(content: pd.Series) -> pd.DataFrame:
     # regex machinery entirely (the common case in a web corpus).
     has_eos = content.str.contains(EOS_SENTINEL, regex=False, na=False)
     has_ref = content.str.contains("<|ref|>", regex=False, na=False)
+    # the engine substitutes the page's media index through _JDX after
+    # the kept-page window; a page that already CONTAINS the reserved
+    # sentinel would have that literal rewritten to page digits (the
+    # reference's direct at-match substitution preserves it). No
+    # sequential-replace escape scheme is correct in general, so fail
+    # loudly on the adversarial input instead of corrupting it silently.
+    if content.str.contains(_JDX, regex=False, na=False).any():
+        raise ValueError(
+            "extract_pdf: input page contains the reserved media-index "
+            f"sentinel {_JDX!r}; pre-strip or re-encode such pages"
+        )
     out = pd.DataFrame(
         {
             "kept": has_eos.astype("int32"),

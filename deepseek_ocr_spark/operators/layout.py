@@ -53,11 +53,22 @@ def reading_order(blocks: DataFrame) -> DataFrame:
 
 
 def merge_font_runs(ordered: DataFrame) -> DataFrame:
-    """Merge consecutive blocks (in reading order) of the same column
-    with equal font_size and vertical gap < RUN_GAP into font runs;
-    emits one row per run with texts joined in order."""
+    """Merge consecutive blocks (in reading order) with equal font_size,
+    overlapping x-ranges, and downward vertical gap < RUN_GAP into font
+    runs; emits one row per run with texts joined in order. The
+    criterion is geometric, not band-structural — see the note below."""
     w = Window.partitionBy("doc_id", "page_no").orderBy("reading_order")
     gap = F.col("y1") - F.lag("y2").over(w)
+    # NOTE on bands: runs deliberately ignore band boundaries. In a
+    # single-column page every inter-paragraph gap IS a band break
+    # (any full-width gap starts a band), so requiring band equality
+    # would disable paragraph merging entirely; bands order blocks, the
+    # merge criterion is geometric (x-compatible, downward, gap <
+    # RUN_GAP) + same font. Corollary: a column's last block CAN merge
+    # onto a next-band full-width block of the same font within
+    # RUN_GAP — accepted, same-font-within-25/1000 is already a
+    # same-paragraph signal; cross-column merges are blocked because
+    # columns are x-disjoint.
     same_run = (
         (F.lag("font_size").over(w) == F.col("font_size"))
         # geometric column compatibility: x-ranges overlap

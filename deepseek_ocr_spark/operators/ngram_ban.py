@@ -34,8 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..schema import NGRAM_SIZE, NGRAM_WHITELIST_SUBSTRINGS, NGRAM_WINDOW
+
 SEP = "\x1f"  # token joiner for ngram identity (tokens never contain \x1f)
-WHITELIST = ("<td>", "</td>")  # ngram_norepeat.py:33 token-id whitelist
+# single-sourced from schema.py (the declared home of byte-exact
+# reference constants; ngram_norepeat.py:33 token-id whitelist)
+WHITELIST = NGRAM_WHITELIST_SUBSTRINGS
 
 
 def ngram_array(toks, n: int):
@@ -63,8 +67,8 @@ def ngram_ban_flags(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    ngram_size: int = 3,
-    window_size: int = 50,
+    ngram_size: int = NGRAM_SIZE,
+    window_size: int = NGRAM_WINDOW,
     whitelist: tuple[str, ...] = WHITELIST,
 ) -> DataFrame:
     """Banned-token positions per doc: (doc_id, pos, token), pos = the
@@ -81,9 +85,12 @@ def ngram_ban_flags(
     n = ngram_size
     # tokenize once (projection boundary keeps the split from being
     # re-evaluated per ngram by CollapseProject)
+    # NULL text ≡ '' (the engine-wide split convention: one empty
+    # token) — split(NULL) is NULL and posexplode of NULL emits zero
+    # rows, which would silently DROP the document from per-doc outputs
     tokenized = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), r"\s+").alias("toks"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+").alias("toks"),
     )
     flat = (
         tokenized.select(
@@ -127,8 +134,8 @@ def apply_ngram_ban(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    ngram_size: int = 3,
-    window_size: int = 50,
+    ngram_size: int = NGRAM_SIZE,
+    window_size: int = NGRAM_WINDOW,
     whitelist: tuple[str, ...] = WHITELIST,
 ) -> DataFrame:
     """Suppression view of the ban: (doc_id, clean_text, n_kept,
@@ -143,30 +150,34 @@ def apply_ngram_ban(
     )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+        # same NULL ≡ '' convention as ngram_ban_flags: a NULL-text doc
+        # must appear in the output (clean_text '', n_kept 1, n_banned
+        # 0), not vanish from the per-doc contract
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+        ).alias("pos", "tok"),
     )
-    kept = toks.join(banned, on=["doc_id", "pos"], how="left_anti")
-    n_banned = banned.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_banned")
+    # ONE left flag-join + ONE per-doc aggregate: kept text, n_kept and
+    # n_banned all come out of the same groupBy (collect_list skips the
+    # NULLs the unmatched when() emits), replacing the former
+    # anti-join + second banned groupBy + doc_id re-join — one less
+    # aggregation and one less shuffle-side join on this per-doc job
+    flagged = toks.join(
+        banned.select("doc_id", "pos", F.lit(1).alias("_b")),
+        on=["doc_id", "pos"],
+        how="left",
     )
-    out = kept.groupBy("doc_id").agg(
+    kept_struct = F.when(
+        F.col("_b").isNull(), F.struct("pos", "tok")
+    )
+    return flagged.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda s: s["tok"],
             ),
             " ",
         ).alias("clean_text"),
-        F.count("*").cast("bigint").alias("n_kept"),
-    )
-    return (
-        out.join(n_banned, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            "clean_text",
-            "n_kept",
-            F.coalesce(F.col("n_banned"), F.lit(0).cast("bigint")).alias(
-                "n_banned"
-            ),
-        )
+        F.count(F.when(F.col("_b").isNull(), 1)).cast("bigint").alias("n_kept"),
+        F.count("_b").cast("bigint").alias("n_banned"),
     )

@@ -167,10 +167,19 @@ def extract_spans(
     # whitespace-only drop must match Python str.strip() semantics
     # (all whitespace, not just spaces): keep iff any non-ws char.
     # (?U) makes Java \S unicode-aware like Python's.
+    # The image test is media_ref IS NOT NULL (set iff the INPUT kind
+    # was 'image'), not the rewritten kind == 'media': an input span
+    # that already carries kind='media' is an ordinary text span to the
+    # oracle (processed, kept iff non-ws, NOT media-counted), and an
+    # input kind=NULL must not null the whole predicate (isin is not
+    # null-safe) — both schema-legal inputs (oracle.py:159-204).
     kept = F.filter(
         "_r",
-        lambda s: (s["kind"] == "media")
-        | (~s["kind"].isin(*BOILER_KINDS) & s["text"].rlike(r"(?U)\S")),
+        lambda s: s["media_ref"].isNotNull()
+        | (
+            ~F.coalesce(s["kind"].isin(*BOILER_KINDS), F.lit(False))
+            & s["text"].rlike(r"(?U)\S")
+        ),
     )
     final = F.transform(
         kept,
@@ -188,7 +197,10 @@ def extract_spans(
             *passthrough,
             F.col("spans_out").alias("spans"),
             "parse_failures",
-            F.size(F.filter("spans_out", lambda s: s["kind"] == "media"))
+            # media_spans counts RESOLVED images (media_ref set), not
+            # output kind=='media' — a passthrough input 'media' span is
+            # not an image (oracle counts media_idx = input images only)
+            F.size(F.filter("spans_out", lambda s: s["media_ref"].isNotNull()))
             .cast("int")
             .alias("media_spans"),
             F.size("spans_out").cast("int").alias("blocks_kept"),

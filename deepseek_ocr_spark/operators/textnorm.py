@@ -49,6 +49,14 @@ def clean_formula_udf(texts: pd.Series) -> pd.Series:
 
 def clean_formula_expr(t: Column) -> Column:
     """JVM-side equivalent under the no-\\quad-outside-formulas invariant:
-    drop annotation runs globally, then trim inside each block."""
-    t = F.regexp_replace(t, r"\\quad\s*\([^)]*\)", "")
-    return F.regexp_replace(t, r"(?s)\\\[\s*(.*?)\s*\\\]", r"\\[$1\\]")
+    drop annotation runs globally, then trim inside each block.
+
+    (?U) makes Java's \\s Unicode-aware like Python's (same device as
+    spans_pipeline's kept filter): without it a NBSP- or U+2028-padded
+    formula trims differently between this expr and clean_formula_py.
+    Residual fringe: Python str.strip() also strips U+001C–001F/U+0085
+    separators that Unicode White_Space (hence Java (?U)\\s) excludes —
+    control-char-padded formulas are the one remaining divergence,
+    test-pinned as out of contract."""
+    t = F.regexp_replace(t, r"(?U)\\quad\s*\([^)]*\)", "")
+    return F.regexp_replace(t, r"(?sU)\\\[\s*(.*?)\s*\\\]", r"\\[$1\\]")

@@ -56,8 +56,10 @@ GLOBAL_TOKENS = (Q_BASE + 1) * Q_BASE + 1  # newline per row + view sep
 def plan_grid(pages: DataFrame, w_col: str = "width", h_col: str = "height") -> DataFrame:
     """Add (w_tiles, h_tiles, n_tiles, vision_tokens) to a page table.
 
-    Small-image bypass: width and height both ≤ IMAGE_SIZE ⇒ (1, 1) grid,
-    token cost of a single tile view (P3 semantics).
+    Small-image bypass: width and height both ≤ IMAGE_SIZE ⇒ (1, 1) grid
+    (crop_ratio [1,1]), budget = the global view alone (GLOBAL_TOKENS;
+    local views contribute zero — deepseek_ocr.py:79-80,95-106). P3
+    semantics: no tiling work, but the global view is always consumed.
 
     Zero-shuffle: the 13-candidate argmin is a left-to-right fold seeded
     with the first candidate; the comparator (diff <, then area >, then
@@ -101,7 +103,13 @@ def plan_grid(pages: DataFrame, w_col: str = "width", h_col: str = "height") -> 
     w_tiles = F.when(small, F.lit(1)).otherwise(F.col("_c.gw"))
     h_tiles = F.when(small, F.lit(1)).otherwise(F.col("_c.gh"))
     local = (Q_TILE * w_tiles + 1) * (Q_TILE * h_tiles)
-    tokens = F.when(small, F.lit((Q_TILE + 1) * Q_TILE + 1)).otherwise(
+    # small bypass = crop_ratio [1,1] (deepseek_ocr.py:79-80): the
+    # GLOBAL view is still consumed and local views contribute ZERO —
+    # budget is GLOBAL_TOKENS (273), the same small-page figure
+    # token_layout emits. (A previous form charged a single 640 tile
+    # view, 111 — not a reference mode: the model never swaps the
+    # global view for a tile.)
+    tokens = F.when(small, F.lit(GLOBAL_TOKENS)).otherwise(
         local + F.lit(GLOBAL_TOKENS)
     )
     return best.select(
@@ -215,8 +223,15 @@ def token_layout(
     tile_tokens = F.when(
         tiled, (Q_TILE * w_t + 1) * (Q_TILE * h_t)
     ).otherwise(F.lit(0)).cast("bigint")
+    # NULL text = no text segment (0 tokens), not a NULL that poisons
+    # seq_len and silently drops the text segment (ANSI size(NULL) is
+    # NULL; a packing consumer summing seq_len would get NULL totals)
     text_tokens = (
-        F.size(F.regexp_extract_all(text_col, F.lit(BPE_PAT), 0)).cast("bigint")
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_PAT), 0
+            )
+        ).cast("bigint")
         if text_col is not None
         else F.lit(0).cast("bigint")
     )

@@ -1445,7 +1445,9 @@ def _grids_values() -> str:
 def _sql_p1() -> str:
     from .operators.tiling import GLOBAL_TOKENS, IMAGE_SIZE, Q_TILE
 
-    small_tok = (Q_TILE + 1) * Q_TILE + 1
+    # small bypass budget = global view only (crop [1,1] ⇒ local 0,
+    # deepseek_ocr.py:79-80) — same constant plan_grid emits
+    small_tok = GLOBAL_TOKENS
     return f"""
 WITH pages AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,

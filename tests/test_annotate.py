@@ -297,6 +297,30 @@ class TestTokenLayout:
         assert kinds == ["bos", "global_view", "eos"]
         assert r.seq_len == 1 + GLOBAL_TOKENS + 1
 
+    def test_small_image_budget_agrees_with_plan_grid(self, spark):
+        """P1 and P6 must quote the same vision budget for the same
+        page: a small (≤640²) image is crop_ratio [1,1] — global view
+        consumed, zero local views, 273 tokens (deepseek_ocr.py:79-80,
+        95-106). plan_grid previously charged a single 640 tile view
+        (111), which is not a reference mode."""
+        from deepseek_ocr_spark.operators.tiling import plan_grid
+
+        df = spark.createDataFrame([(640, 480)], "width long, height long")
+        p1 = plan_grid(df).collect()[0]
+        p6 = token_layout(df).collect()[0]
+        assert p1.vision_tokens == p6.image_tokens == GLOBAL_TOKENS
+
+    def test_null_text_is_zero_tokens_not_null(self, spark):
+        """ANSI size(NULL) is NULL: a NULL text row must produce 0 text
+        tokens and a non-NULL seq_len, not poison packing totals."""
+        df = spark.createDataFrame(
+            [(640, 480, None)], "width long, height long, text string"
+        )
+        r = token_layout(df, text_col="text").collect()[0]
+        assert r.text_tokens == 0
+        assert r.seq_len == 1 + GLOBAL_TOKENS + 1
+        assert [s.kind for s in r.segments] == ["bos", "global_view", "eos"]
+
     def test_segments_contiguous_and_cover_seq(self, spark):
         r = self._one(spark, 1920, 1080, text="hello world, 42 tokens!")
         pos = 0

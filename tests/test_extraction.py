@@ -86,6 +86,39 @@ def test_pipeline_b_matches_oracle(spark, fixture_docs):
             assert g[k] == m[k], (doc_id, k, g[k], m[k])
 
 
+def test_pipeline_b_exotic_kinds_match_oracle(spark):
+    """Schema-legal kinds outside the usual vocabulary: an INPUT span
+    already carrying kind='media' is an ordinary text span (processed,
+    kept iff non-ws, NOT counted in media_spans), and kind=NULL must
+    not null the kept predicate (isin isn't null-safe). Both previously
+    diverged from oracle_spans_doc: 'media' was kept-with-NULL-ref and
+    media-counted even when whitespace-only; NULL-kind spans vanished."""
+    spans = [
+        {"kind": "media", "text": "   ", "media_ref": None, "offset": 0},
+        {"kind": "media", "text": "passthrough", "media_ref": None, "offset": 1},
+        {"kind": None, "text": "null-kind text", "media_ref": None, "offset": 2},
+        {"kind": None, "text": " \t ", "media_ref": None, "offset": 3},
+        {"kind": "image", "text": None, "media_ref": None, "offset": 4},
+        {"kind": "footer", "text": "page 3", "media_ref": None, "offset": 5},
+    ]
+    df = spark.createDataFrame(
+        [("ek-0", [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    g = extract_spans(df).collect()[0]
+    expect = oracle.oracle_spans_doc(spans)
+    assert [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]
+    ] == [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in expect["spans"]
+    ]
+    m = expect["metrics"]
+    for k in ("blocks_dropped", "blocks_kept", "media_spans", "char_yield"):
+        assert g[k] == m[k], (k, g[k], m[k])
+    assert g["media_spans"] == 1  # only the true image
+
+
 def test_pipeline_b_duplicate_offsets(spark):
     """Spans sharing an offset: media numbering and ordering must break
     ties by original array position, matching the oracle's stable sort

@@ -91,6 +91,24 @@ def test_empty_and_null_pages(spark):
     assert got["clean_text"] == f"ok\n{oracle.PAGE_SPLIT}\n"
 
 
+def test_reserved_sentinel_in_input_raises(spark):
+    """A page whose raw text contains the engine's reserved media-index
+    placeholder would have that literal rewritten to page digits by the
+    post-window substitution (the reference's at-match substitution
+    preserves it); the engine fails loudly instead of corrupting."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from deepseek_ocr_spark.operators.extraction import _JDX
+
+    df = spark.createDataFrame(
+        [("d", 0, f"evil {_JDX} page{EOS_SENTINEL}")], PAGES_SCHEMA
+    )
+    with pytest.raises((PythonException, Py4JJavaError)):
+        extract_pdf(df).collect()
+
+
 def test_streaming_incremental_batches(spark):
     """maxFilesPerTrigger=1 forces multiple micro-batches; result must
     equal batch output regardless of batch boundaries."""

@@ -124,6 +124,24 @@ def test_apply_ngram_ban_matches_oracle_suppression(spark):
         assert got[str(i)] == (" ".join(kept), len(kept), len(banned)), i
 
 
+def test_apply_ngram_ban_null_text_doc_is_kept(spark):
+    """A NULL-text doc must appear in the per-doc output under the
+    engine-wide NULL ≡ '' split convention (one empty token, nothing
+    banned) — split(NULL) used to posexplode to zero rows and silently
+    drop the doc_id from the contract."""
+    from deepseek_ocr_spark.operators.ngram_ban import apply_ngram_ban
+
+    df = spark.createDataFrame(
+        [("n0", None), ("n1", "x y x y x y")], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_banned"])
+        for r in apply_ngram_ban(df, ngram_size=2, window_size=10).collect()
+    }
+    assert set(got) == {"n0", "n1"}
+    assert got["n0"] == ("", 1, 0)
+
+
 def test_degenerate_page_bounded_blowup(spark):
     """A pathological all-identical-token page: every ngram is equal, but
     the join fan-out is bounded by the window (each position matches at

@@ -110,6 +110,11 @@ def test_t3_udf_matches_jvm_and_python(spark):
         r"\[  x + y \quad (12)  \] and \[a\quad (zz)b\]",
         r"\[already clean\]",
         r"unclosed \[ E = mc^2",
+        # Unicode whitespace: NBSP/U+2028-padded formulas must trim the
+        # same way in the (?U) JVM expr as in Python's strip()/\s,
+        # including a \quad whose gap to the paren is a NBSP
+        "\\[ \u00a0x + y \u00a0\\]",
+        "\\[\u2028z \\quad\u00a0(note)\u2028\\] tail",
     ]
     df = spark.createDataFrame([(c,) for c in cases], "t string")
     got = df.select(
