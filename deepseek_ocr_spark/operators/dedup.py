@@ -546,11 +546,23 @@ _MINHASH_FAST_KERNEL = _minhash_sig_fast_udf()
 
 def _bucket_pairs(bands: DataFrame, key_cols: list[str]) -> DataFrame:
     """(doc_id, *key_cols) → distinct candidate pairs (doc_a < doc_b)
-    within each capped bucket. Shared by minhash and simhash blocking."""
-    buckets = bands.groupBy(*key_cols).agg(
-        F.slice(
-            F.array_sort(F.collect_list("doc_id")), 1, LSH_BUCKET_CAP
-        ).alias("members")
+    within each capped bucket. Shared by minhash and simhash blocking.
+
+    The cap is applied BEFORE collecting members (row_number window,
+    spillable sort) — the former collect_list-then-slice form buffered
+    the ENTIRE hot bucket in one aggregation buffer before discarding
+    all but LSH_BUCKET_CAP, i.e. O(bucket) task memory at exactly the
+    identical-doc-cluster pathology the cap exists for (the incremental
+    path already capped this way). Same membership: smallest
+    LSH_BUCKET_CAP doc_ids per bucket, so the DuckDB oracle's
+    list-slice mirror is unchanged. The window and the groupBy share
+    the key partitioning — still one exchange."""
+    rn_w = Window.partitionBy(*key_cols).orderBy("doc_id")
+    capped = bands.withColumn("_rn", F.row_number().over(rn_w)).filter(
+        F.col("_rn") <= LSH_BUCKET_CAP
+    )
+    buckets = capped.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list("doc_id")).alias("members")
     )
     return (
         buckets.filter(F.size("members") > 1)

@@ -15,8 +15,10 @@ The shuffle ships (doc_id, count, shard) rows only, never document
 bodies; whole-stage-codegen arithmetic throughout.
 
 Guarantee: every pack total ≤ budget + (its last doc's count) − 1, and
-any document with count ≥ budget is isolated into its own singleton
-pack (flagged oversize). This is the standard streaming-fill
+any document with count STRICTLY ABOVE budget is isolated into its own
+singleton pack (flagged oversize — it cannot fit any sequence; a doc of
+exactly budget tokens fills a pack perfectly and is NOT oversize). This
+is the standard streaming-fill
 approximation: exact first-fit-decreasing is inherently sequential and
 buys ~1-2% utilization at corpus scale — not worth a driver-side loop
 (CLAUDE.md: no collect in operators). Utilization is reported per pack
@@ -63,7 +65,7 @@ def pack_sequences(
     """(pack_id, doc_ids, n_docs, total_tokens, utilization, oversize).
 
     Every input doc lands in exactly one pack. Oversize docs
-    (count ≥ budget) are singleton packs with oversize=true; the caller
+    (count > budget) are singleton packs with oversize=true; the caller
     decides to truncate or drop them (the engine does not silently clip
     content)."""
     if budget <= 0:
@@ -87,18 +89,17 @@ def pack_sequences(
     if shard_mode == "fast":
         shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
     elif shard_mode == "portable":
+        from .dedup import portable_hash  # rule-12 hash, single-sourced
+
         shard = F.pmod(
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10).cast(
-                "long"
-            ),
-            F.lit(n_shards),
+            portable_hash(F.col(id_col).cast("string")), F.lit(n_shards)
         )
     else:
         raise ValueError(f"shard_mode must be 'fast' or 'portable', got {shard_mode!r}")
     sharded = docs.select(
         F.col(id_col).alias("doc_id"),
         cnt.alias("_cnt"),
-        (cnt >= budget).alias("oversize"),
+        (cnt > budget).alias("oversize"),
         shard.cast("int").alias("_shard"),
     )
     w = Window.partitionBy("_shard", "oversize").orderBy("doc_id")

@@ -271,6 +271,10 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     span; sentinels contain no digits or @, so later passes cannot match
     inside earlier replacements)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    for kind in ("email", "phone", "ip"):
+    # iterate PII_PATTERNS itself (dict order: email first, per the
+    # ordering contract above) — a pattern added there must redact, not
+    # just be counted by pii_signals, or the audit view reports PII the
+    # redaction pass then ships into the corpus
+    for kind in PII_PATTERNS:
         text = F.regexp_replace(text, PII_PATTERNS[kind], PII_SENTINELS[kind])
     return docs.withColumn(text_col, text)

@@ -300,13 +300,25 @@ _ARR_INT = _ArrayType(_IntegerType())
 _BUCKET_SLAB = 1024
 
 
+_BUCKET_KERNELS: dict = {}
+
+
 def _bucket_tables_kernel(n_planes: int, n_tables: int, dim: int):
     """pandas UDF: array<float> embedding -> array<int> of the n_tables
     hyperplane-LSH bucket ids (table t = plane block [t·n_planes,
     (t+1)·n_planes)), byte-exact vs hyperplane_bucket per table.
     Wrong-width AND NULL embeddings raise — the same behavior as the
     JVM path, whose width guard's CASE falls through to raise_error
-    when size(NULL) is NULL."""
+    when size(NULL) is NULL.
+
+    Memoized on (n_planes, n_tables, dim) — the module convention
+    (_KERNELS/_COV_KERNELS/_SIMHASH_KERNELS): a fresh UDF object per
+    call re-pickles the weight matrix AND defeats persist_swap's
+    sameResult reuse of the 'embdup_vecs' cache across repeated
+    same-corpus runs."""
+    key = (n_planes, n_tables, dim)
+    if key in _BUCKET_KERNELS:
+        return _BUCKET_KERNELS[key]
     total = n_tables * n_planes
     if total > MAX_PLANES:
         raise ValueError(
@@ -355,6 +367,7 @@ def _bucket_tables_kernel(n_planes: int, n_tables: int, dim: int):
                 out[i] = bkts[j]
         return _pd.Series(out)
 
+    _BUCKET_KERNELS[key] = kernel
     return kernel
 
 
@@ -595,10 +608,24 @@ def lsh_scan_stats(
     )
     n_q = queries.count()
     n_v = vectors.count()
-    total = n_q * (n_v - 1)
+    total = n_q * n_v - _n_self_pairs(vectors, queries, id_col)
     return vectors.sparkSession.createDataFrame(
         [(cand, total, round(cand / max(total, 1), 4))],
         "n_candidates long, n_exhaustive long, scan_fraction double",
+    )
+
+
+def _n_self_pairs(vectors: DataFrame, queries: DataFrame, id_col: str) -> int:
+    """How many (query, neighbor) pairs the self-filter removes from the
+    exhaustive count: |query ids ∩ vector ids|. The former n_q·(n_v−1)
+    denominator assumed queries ⊆ vectors — a DISJOINT held-out query
+    set then under-counted the brute-force total by n_q, letting
+    scan_fraction exceed 1.0 at full fan-out."""
+    return (
+        queries.select(F.col(id_col))
+        .distinct()
+        .join(vectors.select(F.col(id_col)).distinct(), on=id_col)
+        .count()
     )
 
 
@@ -626,10 +653,18 @@ def _nearest_cells(vec_col: str, centroids: list[list[float]], n: int) -> Column
         )
         + ")"
     )
+    # width guard (same house shape as _margins_sql): a mismatched
+    # vector would null-pad the zip, fold every distance to NULL, and
+    # SILENTLY land in cell 0 with NULL sims — never matching, never
+    # deduping. Fail loudly instead (ADVICE r2 class, IVF side).
+    dim = len(centroids[0]) if centroids else 0
+    msg = f"ivf: embedding width != centroid width {dim}"
     dists = (
+        f"CASE WHEN size({vec_col}) = {dim} THEN "
         f"transform({mat}, c -> aggregate(zip_with({vec_col}, c, "
         "(a, b) -> (cast(a as double) - b) * (cast(a as double) - b)), "
-        "cast(0.0 as double), (acc, x) -> acc + x))"
+        "cast(0.0 as double), (acc, x) -> acc + x)) "
+        f"ELSE CAST(raise_error('{msg}') AS ARRAY<DOUBLE>) END"
     )
     ranked = (
         f"array_sort(zip_with({dists}, sequence(0, {len(centroids) - 1}), "
@@ -764,7 +799,9 @@ def ivf_scan_stats(
         .distinct()
         .count()
     )
-    total = queries.count() * (vectors.count() - 1)
+    total = queries.count() * vectors.count() - _n_self_pairs(
+        vectors, queries, id_col
+    )
     return vectors.sparkSession.createDataFrame(
         [(cand, total, round(cand / max(total, 1), 4))],
         "n_candidates long, n_exhaustive long, scan_fraction double",
@@ -907,6 +944,14 @@ def _validate_tables(
         raise ValueError(
             f"n_tables*n_planes = {n_tables * n_planes} exceeds "
             f"MAX_PLANES={MAX_PLANES} disjoint hyperplanes"
+        )
+    if n_planes > 31:
+        # buckets are int32 bit-codes: 32 planes per table needs bit 31,
+        # which the JVM path would ANSI-overflow on cast while the numpy
+        # kernel wraps negative — the two paths would silently diverge
+        raise ValueError(
+            f"n_planes = {n_planes} per table exceeds 31 (int32 bucket "
+            "codes); spread planes across more tables instead"
         )
 
 

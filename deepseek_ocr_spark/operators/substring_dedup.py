@@ -274,8 +274,15 @@ def decontaminate(
     )
     # EAGER broadcast-size guard (cosine_topk's house style): a bounded
     # limit+count probe at construction, so misuse raises instead of
-    # OOMing the driver mid-job; pass None to skip in plan-only contexts
+    # OOMing the driver mid-job; pass None to skip in plan-only contexts.
+    # The guarded table is persisted first — otherwise the probe runs
+    # the full benchmark tokenize/kernel/distinct once and the broadcast
+    # join below re-runs the identical plan (one wasted kernel pass per
+    # call; bounded by the benchmark's size, still pure waste).
     if max_benchmark_windows is not None:
+        from ._cache import persist_swap
+
+        bench_hv = persist_swap("decontam_bench_hv", bench_hv)
         probe = bench_hv.limit(max_benchmark_windows + 1).count()
         if probe > max_benchmark_windows:
             raise ValueError(

@@ -3001,7 +3001,7 @@ WITH counted AS (
   FROM documents
 ),
 flagged AS (
-  SELECT doc_id, cnt, shard, cnt >= {_P7B_BUDGET} AS oversize FROM counted
+  SELECT doc_id, cnt, shard, cnt > {_P7B_BUDGET} AS oversize FROM counted
 ),
 assigned AS (
   SELECT doc_id, cnt, shard, oversize,

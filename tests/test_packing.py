@@ -74,6 +74,23 @@ def test_packing_rejects_bad_budget(spark, counted_docs):
         pack_sequences(counted_docs, 0)
 
 
+def test_exact_budget_doc_is_not_oversize(spark):
+    """A doc of exactly budget tokens fills one pack perfectly — it must
+    NOT be flagged oversize (callers drop/truncate oversize packs, which
+    would silently lose perfectly-sized documents); only counts STRICTLY
+    above budget are isolated."""
+    docs = spark.createDataFrame(
+        [(1, BUDGET), (2, BUDGET + 1), (3, 10)],
+        "doc_id long, n_tokens long",
+    )
+    rows = pack_sequences(docs, BUDGET, n_shards=1).collect()
+    over = [r for r in rows if r["oversize"]]
+    assert len(over) == 1 and over[0]["doc_ids"] == [2]
+    assert over[0]["total_tokens"] == BUDGET + 1
+    normal = {d for r in rows if not r["oversize"] for d in r["doc_ids"]}
+    assert normal == {1, 3}
+
+
 def test_adaptive_shards_scales_with_corpus():
     from deepseek_ocr_spark.operators.packing import (
         DEFAULT_SHARDS,
