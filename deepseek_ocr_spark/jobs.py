@@ -75,7 +75,36 @@ def run_pages_job(
         .write.mode("overwrite")
         .parquet(f"{output_dir}/metrics")
     )
-    return docs
+    # return a READ of the written table, not the lazy extraction plan:
+    # any caller action on the latter (run_extract.py's .count()) would
+    # re-run the whole regex-heavy extraction over the input a second
+    # time instead of scanning the files this job just wrote
+    return spark.read.parquet(f"{output_dir}/documents")
+
+
+def _write_meta(
+    spark: SparkSession, meta_path: str, hash_mode: str, jaccard_threshold: float
+) -> None:
+    """Replace the store's meta table via stage-then-rename. A plain
+    mode('overwrite') is delete-then-write: a crash mid-job leaves the
+    populated store with NO meta, and the next run would silently
+    re-stamp whatever policy it happened to pass — bypassing the very
+    mismatch guard meta exists for. Staging shrinks the unguarded window
+    from a full parquet job to two filesystem metadata ops (atomic on
+    HDFS; on Iceberg the meta update is part of the single store
+    transaction, per the plans/lineage.py mapping)."""
+    tmp = f"{meta_path}__staging"
+    spark.createDataFrame(
+        [(hash_mode, float(jaccard_threshold))],
+        "hash_mode string, jaccard_threshold double",
+    ).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(tmp).getFileSystem(spark._jsc.hadoopConfiguration())
+    dst = hpath(meta_path)
+    fs.delete(dst, True)
+    if not fs.rename(hpath(tmp), dst):
+        raise IOError(f"failed to rename staged meta {tmp} -> {meta_path}")
 
 
 def run_dedup_job(
@@ -171,15 +200,9 @@ def run_dedup_job(
                 "if exact policy provenance matters.",
                 stacklevel=2,
             )
-            spark.createDataFrame(
-                [(hash_mode, float(jaccard_threshold))],
-                "hash_mode string, jaccard_threshold double",
-            ).write.mode("overwrite").parquet(meta_path)
+            _write_meta(spark, meta_path, hash_mode, jaccard_threshold)
     else:
-        spark.createDataFrame(
-            [(hash_mode, float(jaccard_threshold))],
-            "hash_mode string, jaccard_threshold double",
-        ).write.mode("overwrite").parquet(meta_path)
+        _write_meta(spark, meta_path, hash_mode, jaccard_threshold)
 
     store_sigs = _read_or_none(sig_path)
     prior_dups = _read_or_none(dups_path)
@@ -349,9 +372,13 @@ def run_curation_job(
     # reports these as the curation job's stage breakdown)
     t0 = _time.time()
 
-    # 1. PII redaction (pure codegen map — no shuffle; materializes
-    #    inside the repetition-gate checkpoint below)
-    docs = redact_pii(docs)
+    # 1. PII redaction (pure codegen map — no shuffle). Checkpointed
+    #    HERE because the repetition gate below is a self-join on this
+    #    lineage: both the signal branch and the kept-rows branch would
+    #    otherwise re-run the whole regex chain over the corpus text
+    #    (Catalyst does not dedupe common subplans across join inputs —
+    #    the u4 lesson, regex edition)
+    docs = redact_pii(docs).localCheckpoint()
 
     # 2. repetition gate (Gopher thresholds)
     rep = repetition_signals(docs).select("doc_id", "gopher_repetition_ok")

@@ -213,11 +213,20 @@ def apply_domain_rates(
         rate_rows = [
             (d, *_rate_to_copies(r)) for d, r in sorted(rates.items())
         ]
-        rate_tbl = F.broadcast(
-            spark.createDataFrame(
-                rate_rows, f"{domain_col} string, _base int, _thr bigint"
-            )
+        # domain field type comes from the input schema — hardcoding
+        # string would make an int-domain corpus work on the when-chain
+        # path (literal ==) but crash createDataFrame the moment the
+        # domain count crosses WHEN_CHAIN_MAX
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+        rate_schema = StructType(
+            [
+                StructField(domain_col, docs.schema[domain_col].dataType),
+                StructField("_base", IntegerType(), False),
+                StructField("_thr", LongType(), False),
+            ]
         )
+        rate_tbl = F.broadcast(spark.createDataFrame(rate_rows, rate_schema))
         gated = (
             docs.join(rate_tbl, domain_col)  # inner join = drop unlisted
             .withColumn(

@@ -29,8 +29,6 @@ snapshot. Parquet subdirectories stand in for snapshots in this sandbox
 
 from __future__ import annotations
 
-import os
-
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,20 +48,30 @@ def assign_slices(docs: DataFrame, n_slices: int = N_SLICES) -> DataFrame:
 
 def committed_slices(spark: SparkSession, out_dir: str) -> set[int]:
     path = f"{out_dir}/lineage"
-    if not os.path.exists(path):
-        return set()
     try:
         return {
             r["slice_id"]
             for r in spark.read.parquet(path).select("slice_id").distinct().collect()
         }
-    except AnalysisException:
-        # an existing-but-empty lineage dir (crash between mkdir and the
-        # first commit) cannot infer a schema — that IS a fresh run.
-        # Anything else (corrupt footer, IO error) must PROPAGATE: at
-        # 10^12 docs, treating read failure as "no commits" would
-        # silently rescan the whole input and mask real corruption.
-        return set()
+    except AnalysisException as e:
+        # Existence goes through spark.read, never os.path — the run dir
+        # is a Hadoop-FS path (HDFS/S3 at scale); a driver-local exists()
+        # check is always False there, which would silently disable
+        # resume and rescan the whole input every run. Only two error
+        # classes mean "fresh run": the dir is missing, or it exists but
+        # holds no committed parquet yet (crash between mkdir and the
+        # first commit → no schema to infer). Anything else — corrupt
+        # footer, a lineage table missing slice_id, IO error — must
+        # PROPAGATE: treating read failure as "no commits" would mask
+        # real store corruption behind a full rescan.
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return set()
+        raise
 
 
 def run_extract_resumable(

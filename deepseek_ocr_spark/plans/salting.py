@@ -78,16 +78,17 @@ def repartition_salted(
     distinct rows of a hot key scatter over the buckets (deterministic
     under task retry — rule in with_salt). Atomic-only keeps the default
     safe and cheap: xxhash64 rejects MAP columns outright, and hashing a
-    wide array/struct (a document body) per row would dwarf the
-    repartition it salts. Passing key columns as the salt source raises:
-    that salt is constant per key and spreads nothing. A keys-only (or
-    no-atomic-column) frame must pass salt_cols explicitly."""
+    wide array/struct OR a binary payload (a multi-MB scanned image from
+    sources/binary.py) per row would dwarf the repartition it salts.
+    Passing key columns as the salt source raises: that salt is constant
+    per key and spreads nothing. A keys-only (or no-atomic-column) frame
+    must pass salt_cols explicitly."""
     if salt_cols is None:
         atomic = {
             f.name
             for f in df.schema.fields
             if f.dataType.typeName()
-            not in ("map", "array", "struct", "variant")
+            not in ("map", "array", "struct", "variant", "binary")
         }
         salt_cols = [c for c in df.columns if c not in key_cols and c in atomic]
     _require_salt_outside_keys(key_cols, salt_cols)

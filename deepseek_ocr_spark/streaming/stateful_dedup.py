@@ -102,7 +102,10 @@ def streaming_exact_dedup_flat(
     batch-reproducible (registry query sd1_stream_dedup's DuckDB
     oracle: GROUP BY md5(text) / MIN(doc_id) / COUNT(*)-1)."""
     digested = doc_stream.select(
-        F.md5(F.col(text_col)).alias("digest"),
+        # coalesce: a NULL text row must hash as empty content, not
+        # produce a NULL digest that violates OUT_SCHEMA's non-nullable
+        # field mid-batch
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest"),
         F.col("doc_id").cast("string").alias("doc_id"),
     )
     return digested.groupBy("digest").applyInPandasWithState(
@@ -120,13 +123,22 @@ def streaming_exact_dedup(doc_stream: DataFrame, text_col: str = "spans") -> Dat
     Digest = md5 of the concatenated span texts (content identity, not
     doc identity)."""
     digested = doc_stream.select(
+        # outer coalesce: a NULL spans array must digest as empty
+        # content (matching the flat variant), not emit a NULL digest
+        # into OUT_SCHEMA's non-nullable field
         F.md5(
-            F.array_join(
-                F.transform(text_col, lambda s: F.coalesce(s["text"], F.lit(""))),
-                "\x1f",
+            F.coalesce(
+                F.array_join(
+                    F.transform(text_col, lambda s: F.coalesce(s["text"], F.lit(""))),
+                    "\x1f",
+                ),
+                F.lit(""),
             )
         ).alias("digest"),
-        "doc_id",
+        # cast like the flat variant: a bigint doc_id stream would hand
+        # int64 to the pandas state fn, whose canonical_doc/doc_id
+        # StringType Arrow conversion rejects it mid-query
+        F.col("doc_id").cast("string").alias("doc_id"),
     )
     return digested.groupBy("digest").applyInPandasWithState(
         _dedup_group,

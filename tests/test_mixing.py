@@ -301,3 +301,25 @@ def test_sample_key_range(spark, sf_dir):
         .collect()[0]
     )
     assert 0 <= stats["lo"] and stats["hi"] < SAMPLE_SPACE
+
+
+def test_large_rate_map_int_domain(spark, sf_dir):
+    """Review r5: the broadcast-path rate table must inherit the
+    corpus's domain TYPE — a hardcoded string field made an int-domain
+    corpus work on the when-chain path but crash createDataFrame the
+    moment the domain count crossed WHEN_CHAIN_MAX."""
+    from deepseek_ocr_spark.operators import mixing
+
+    docs = _docs(spark, sf_dir).withColumn("dom", F.col("doc_id") % 100)
+    rates = {i: 0.1 + (i % 30) / 10.0 for i in range(100)}
+    assert len(rates) > mixing.WHEN_CHAIN_MAX
+    big = apply_domain_rates(docs, rates, domain_col="dom")
+    orig = mixing.WHEN_CHAIN_MAX
+    mixing.WHEN_CHAIN_MAX = 1000
+    try:
+        chain = apply_domain_rates(docs, rates, domain_col="dom")
+    finally:
+        mixing.WHEN_CHAIN_MAX = orig
+    a = sorted(map(tuple, big.select("doc_id", "epoch").collect()))
+    b = sorted(map(tuple, chain.select("doc_id", "epoch").collect()))
+    assert a == b and len(a) > 0

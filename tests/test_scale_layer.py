@@ -248,3 +248,46 @@ def test_aqe_skew_join_split_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_committed_slices_propagates_corruption(spark):
+    """Resume-log read failures must PROPAGATE, not read as 'fresh run'
+    (review r5): a lineage table that exists but lacks slice_id means
+    store corruption — silently returning set() would rescan the whole
+    input and dynamic-overwrite committed partitions, masking it."""
+    from pyspark.errors import AnalysisException
+
+    from deepseek_ocr_spark.plans.lineage import committed_slices
+
+    out_dir = tempfile.mkdtemp(prefix="lineage_bad_")
+    try:
+        # missing dir entirely -> fresh run (storage-agnostic: must go
+        # through spark.read, not a driver-local os.path check)
+        assert committed_slices(spark, f"{out_dir}/nope") == set()
+        # lineage present but schema-corrupt -> raise
+        spark.createDataFrame([(1,)], "wrong_col int").write.parquet(
+            f"{out_dir}/lineage"
+        )
+        with pytest.raises(AnalysisException):
+            committed_slices(spark, out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_repartition_salted_default_skips_binary(spark):
+    """The default salt source must not hash multi-MB binary payloads
+    per row (review r5) — with only binary columns outside the key the
+    default has no safe source and must raise for an explicit choice."""
+    from deepseek_ocr_spark.plans.salting import repartition_salted
+
+    df = spark.createDataFrame(
+        [("h0", bytearray(b"x" * 64), i) for i in range(10)],
+        "host string, content binary, seq int",
+    )
+    out = repartition_salted(df, ["host"], 4)
+    # 'seq' is the only atomic non-key column; binary excluded -> the
+    # hot single-host frame still spreads across partitions
+    assert out.rdd.glom().map(len).filter(lambda n: n > 0).count() > 1
+    only_binary = df.select("host", "content")
+    with pytest.raises(ValueError, match="salt"):
+        repartition_salted(only_binary, ["host"], 4)

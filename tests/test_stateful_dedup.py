@@ -60,3 +60,45 @@ def test_cross_batch_dedup(spark):
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_typed_ids_and_null_content(spark):
+    """Review r5: the span variant must survive a BIGINT doc_id stream
+    (cast to the StringType state/output schema like the flat variant)
+    and NULL spans rows (digest as empty content, never a NULL digest
+    into the non-nullable output field)."""
+    in_dir = tempfile.mkdtemp(prefix="sd_typed_")
+    ckpt = tempfile.mkdtemp(prefix="sd_typed_ck_")
+    try:
+        rows = spark.createDataFrame(
+            [
+                (1, [("text", "alpha")]),
+                (2, [("text", "alpha")]),   # dup of 1
+                (3, None),                   # NULL spans
+                (4, []),                     # empty spans == NULL content
+            ],
+            "doc_id bigint, spans array<struct<kind string, text string>>",
+        )
+        rows.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        stream = spark.readStream.schema(rows.schema).parquet(in_dir)
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_typed")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = {r["digest"]: r for r in spark.sql("SELECT * FROM dedup_typed").collect()}
+        # two contents: "alpha" and empty; NULL and [] share the empty digest
+        assert len(out) == 2
+        assert {(r["doc_id"], r["n_duplicates_suppressed"]) for r in out.values()} == {
+            ("1", 1),  # doc 2 suppressed as an alpha dup
+            ("3", 1),  # doc 4's [] collapses onto doc 3's NULL digest
+        }
+        assert all(r["digest"] is not None for r in out.values())
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
