@@ -1153,9 +1153,23 @@ def c1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_wlen.alias("mean_wlen"),
         stop_ratio.alias("stop_ratio"),
     )
-    w = Window.partitionBy(F.md5("text"))
-    canon = feat.withColumn(
-        "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+    # canonical pick via groupBy + join-back, NOT a window over the
+    # digest: a window buffers each digest group whole in one task with
+    # no partial aggregation, and AQE cannot split a window exchange —
+    # at corpus scale one boilerplate page duplicated 10^8 times is a
+    # stalled executor. The aggregate gets map-side combine (tiny
+    # fixed-width rows) and the join-back is AQE-skew-splittable.
+    # Join key coalesced so NULL-text rows keep window semantics (one
+    # group) instead of falling out of the inner join; md5('') never
+    # equals '' so there is no collision with empty text.
+    digested = feat.withColumn(
+        "_digest", F.coalesce(F.md5("text"), F.lit(""))
+    )
+    canon_min = digested.groupBy("_digest").agg(
+        F.min("doc_id").alias("_canon_doc")
+    )
+    canon = digested.join(canon_min, "_digest").withColumn(
+        "is_canonical", F.col("doc_id") == F.col("_canon_doc")
     )
     quality_ok = (
         (F.col("n_tokens") >= 5)
@@ -1251,12 +1265,17 @@ def a1_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unknown")
         .alias("predicted"),
     )
-    w = Window.partitionBy("fp")
-    return base.select(
-        "*",
-        F.count("*").over(w).cast("bigint").alias("n_docs_fp"),
-        F.min("doc_id").over(w).cast("bigint").alias("canonical_doc"),
+    # group stats via groupBy + join-back, not a window over fp (same
+    # skew rationale as c1: partial aggregation + AQE-splittable join
+    # vs an unsplittable whole-group window task). NULL fp (NULL text)
+    # joins through a coalesced key, matching the window's one-NULL-
+    # partition semantics; fp itself stays NULL in the output.
+    keyed = base.withColumn("_fpk", F.coalesce(F.col("fp"), F.lit("")))
+    fp_stats = keyed.groupBy("_fpk").agg(
+        F.count("*").cast("bigint").alias("n_docs_fp"),
+        F.min("doc_id").cast("bigint").alias("canonical_doc"),
     )
+    return keyed.join(fp_stats, "_fpk").drop("_fpk")
 
 
 _SW = "('" + "','".join(STOPWORDS) + "')"
