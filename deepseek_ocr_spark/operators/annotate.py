@@ -193,8 +193,13 @@ _GEOM_SCHEMA = (
     "Circle:struct<circle_center:array<string>,radius:array<double>>>"
 )
 # anchored: the reference eval()s each part, which rejects any trailing
-# garbage — '(1, 2) extra' must NOT parse (a floating regex would)
-_POINT = r"^\s*\(\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*\)\s*$"
+# garbage — '(1, 2) extra' must NOT parse (a floating regex would).
+# Coordinate syntax = the Python float-literal forms eval() accepts:
+# optional sign, '1' / '1.' / '.5' / '1.5', optional exponent. Still
+# narrower than eval (no '1_000', 'inf', arithmetic expressions) —
+# those stay parse-skipped like any malformed entry.
+_NUM = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+_POINT = rf"^\s*\(\s*({_NUM})\s*,\s*({_NUM})\s*\)\s*$"
 
 _ELEM_ARR_TYPE = (
     "array<struct<kind:string,idx:int,x0:double,y0:double,x1:double,"
@@ -284,55 +289,62 @@ def geometry_elements(
     def pt(s, grp: int):
         return F.nullif(F.regexp_extract(s, _POINT, grp), F.lit(""))
 
+    def let_parts(s, delim, body):
+        # r3 let-idiom: HOF lambda bodies are interpreted (rule 19), so
+        # bind split(s, delim) ONCE per element and hand the parts array
+        # to the body, instead of re-running the regex split for every
+        # field that reads a part (4x per line, 3x per labeled point)
+        return F.transform(F.array(F.split(s, delim)), body)[0]
+
     line_elems = F.transform(
         F.coalesce(lines, F.array().cast("array<string>")),
-        lambda s, i: _elem(
-            F.lit("line"),
-            i,
-            pt(F.element_at(F.split(s, " -- "), 1), 1),
-            pt(F.element_at(F.split(s, " -- "), 1), 2),
-            pt(F.element_at(F.split(s, " -- "), -1), 1),
-            pt(F.element_at(F.split(s, " -- "), -1), 2),
-            F.lit(None),
-            # try_element_at: ANSI mode ON — a missing line_type entry
-            # must yield NULL (→ the line is dropped below, mirroring
-            # the reference's in-try IndexError skip), not throw
-            F.try_element_at(ltypes, i + 1),
-            F.lit(None),
+        lambda s, i: let_parts(
+            s,
+            " -- ",
+            lambda parts: _elem(
+                F.lit("line"),
+                i,
+                pt(F.element_at(parts, 1), 1),
+                pt(F.element_at(parts, 1), 2),
+                pt(F.element_at(parts, -1), 1),
+                pt(F.element_at(parts, -1), 2),
+                F.lit(None),
+                # try_element_at: ANSI mode ON — a missing line_type
+                # entry must yield NULL (→ the line is dropped below,
+                # mirroring the reference's in-try IndexError skip),
+                # not throw
+                F.try_element_at(ltypes, i + 1),
+                F.lit(None),
+            ),
         ),
     )
-    def labeled_pt(s, grp: int):
+
+    def labeled_elem(kind, radius_of):
         # reference shape 'A: (x, y)' — the point is eval'd from
         # split(': ')[1] exactly (:281,:293), not found by substring
-        return pt(F.try_element_at(F.split(s, ": "), F.lit(2)), grp)
+        return lambda s, i: let_parts(
+            s,
+            ": ",
+            lambda parts: _elem(
+                F.lit(kind),
+                i,
+                pt(F.try_element_at(parts, F.lit(2)), 1),
+                pt(F.try_element_at(parts, F.lit(2)), 2),
+                F.lit(None),
+                F.lit(None),
+                F.element_at(parts, 1),
+                F.lit(None),
+                radius_of(i),
+            ),
+        )
 
     end_elems = F.transform(
         F.coalesce(ends, F.array().cast("array<string>")),
-        lambda s, i: _elem(
-            F.lit("endpoint"),
-            i,
-            labeled_pt(s, 1),
-            labeled_pt(s, 2),
-            F.lit(None),
-            F.lit(None),
-            F.element_at(F.split(s, ": "), 1),
-            F.lit(None),
-            F.lit(None),
-        ),
+        labeled_elem("endpoint", lambda i: F.lit(None)),
     )
     circle_elems = F.transform(
         F.coalesce(centers, F.array().cast("array<string>")),
-        lambda s, i: _elem(
-            F.lit("circle"),
-            i,
-            labeled_pt(s, 1),
-            labeled_pt(s, 2),
-            F.lit(None),
-            F.lit(None),
-            F.element_at(F.split(s, ": "), 1),
-            F.lit(None),
-            F.try_element_at(radii, i + 1),
-        ),
+        labeled_elem("circle", lambda i: F.try_element_at(radii, i + 1)),
     )
     filtered = F.filter(
         F.concat(line_elems, end_elems, circle_elems),

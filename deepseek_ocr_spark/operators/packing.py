@@ -73,13 +73,21 @@ def pack_sequences(
     raw = F.col(count_col).cast("long")
     # a NULL count would make `oversize` NULL, landing the row in a
     # separate NULL-oversize window partition that is emitted as a
-    # normal-looking pack with NULL totals — corrupt silently (ADVICE
-    # r3). Fail loudly, same policy as the budget guard.
-    cnt = F.when(raw.isNotNull(), raw).otherwise(
+    # normal-looking pack with NULL totals; a NEGATIVE count makes the
+    # running prefix sum non-monotone, so floor(prev/budget) can assign
+    # later docs to earlier (or negative) packs — both corrupt
+    # silently (ADVICE r3 + review r5). Fail loudly, same policy as
+    # the budget guard. (raw >= 0 is NULL for NULL raw, so one branch
+    # catches both.)
+    cnt = F.when(raw >= 0, raw).otherwise(
         F.raise_error(
-            F.lit(
-                f"pack_sequences: NULL {count_col} — filter or impute "
-                "token counts before packing"
+            F.concat(
+                F.lit(
+                    f"pack_sequences: NULL or negative {count_col} "
+                    "(got "
+                ),
+                F.coalesce(raw.cast("string"), F.lit("NULL")),
+                F.lit(") — filter or impute token counts before packing"),
             )
         ).cast("long")
     )
@@ -107,12 +115,30 @@ def pack_sequences(
         F.sum("_cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),
     )
+    # duplicate ids break determinism: the window orders by doc_id, so
+    # two rows sharing one are tie-broken by arrival order and the
+    # running sum (hence pack membership) flickers between runs. Ties
+    # are adjacent in this order, so a lag equality check inside the
+    # SAME window pass catches every nondeterministic case at zero
+    # extra shuffle (dup ids split across the oversize partitions sort
+    # deterministically — one row per partition — and need no guard).
+    dup_prev = F.lag("doc_id").over(w) == F.col("doc_id")
     assigned = sharded.withColumn(
         "_pack_in_shard",
         # oversize docs: one pack per doc (row_number); normal docs:
         # contiguous fill — pack k holds the docs whose running prefix
         # starts inside [k·budget, (k+1)·budget)
-        F.when(F.col("oversize"), F.row_number().over(w).cast("long"))
+        F.when(
+            F.coalesce(dup_prev, F.lit(False)),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pack_sequences: duplicate {id_col} "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" — pack assignment would be nondeterministic; dedup ids first"),
+                )
+            ).cast("long"),
+        )
+        .when(F.col("oversize"), F.row_number().over(w).cast("long"))
         .otherwise(F.floor(prev / budget)),
     )
     return (

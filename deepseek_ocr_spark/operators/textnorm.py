@@ -56,7 +56,19 @@ def clean_formula_expr(t: Column) -> Column:
     formula trims differently between this expr and clean_formula_py.
     Residual fringe: Python str.strip() also strips U+001C–001F/U+0085
     separators that Unicode White_Space (hence Java (?U)\\s) excludes —
-    control-char-padded formulas are the one remaining divergence,
-    test-pinned as out of contract."""
-    t = F.regexp_replace(t, r"(?U)\\quad\s*\([^)]*\)", "")
+    control-char-padded formulas are one remaining divergence,
+    test-pinned as out of contract.
+
+    The annotation class excludes ``]`` as well as ``)``: the global
+    replace would otherwise match ACROSS a block's closing ``\\]`` when
+    a ``\\quad(`` has no ``)`` before the block ends but one occurs
+    later in the document — eating the delimiter and corrupting the
+    block (the reference, confined to the block interior, leaves such
+    annotations alone). Since any boundary-crossing match must contain
+    ``]``, excluding it makes delimiter corruption impossible; the cost
+    is the conservative direction only — an annotation that itself
+    contains ``]`` (e.g. a citation ``\\quad (see [3])``) is left in
+    place rather than dropped. RE2 has no lookarounds (CLAUDE.md rule
+    8), so the DuckDB oracle mirrors this exact class."""
+    t = F.regexp_replace(t, r"(?U)\\quad\s*\([^)\]]*\)", "")
     return F.regexp_replace(t, r"(?sU)\\\[\s*(.*?)\s*\\\]", r"\\[$1\\]")

@@ -138,8 +138,13 @@ def pad_plan(
     closed-form geometry, no pixel tensors by design: the emitted
     columns reproduce PIL's contain-then-center-pad arithmetic exactly,
     so a resize kernel can rebuild the padded canvas bit-identically and
-    padded-space coordinates invert to original pixels
-    (orig_x = (pad_x − pad_left) / scale).
+    padded-space coordinates invert to original pixels per axis
+    (orig_x = (pad_x − pad_left) / scale,
+    orig_y = (pad_y − pad_top) / scale_y). The two axis scales are NOT
+    interchangeable: contain rint()s the scaled minor dimension, so the
+    minor axis's realized scale differs from the major's by up to
+    0.5/base — inverting y through the x scale lands on the wrong
+    source pixel row near the content edge.
 
     PIL specifics mirrored: `contain` rounds the scaled minor dimension
     with Python round() = half-to-even (rint); the centered paste offset
@@ -170,6 +175,7 @@ def pad_plan(
         (F.lit(base_size) - cw.cast("int") - left).cast("int").alias("pad_right"),
         (F.lit(base_size) - ch.cast("int") - top).cast("int").alias("pad_bottom"),
         (cw / src_w).alias("scale"),
+        (ch / src_h).alias("scale_y"),
         F.lit(PAD_FILL).alias("fill_r"),
         F.lit(PAD_FILL).alias("fill_g"),
         F.lit(PAD_FILL).alias("fill_b"),
@@ -236,6 +242,23 @@ def token_layout(
         else F.lit(0).cast("bigint")
     )
 
+    # stage the scalars under reserved names, then derive the layout
+    # from the staged columns in a SECOND select: the final select
+    # aliases 'w_tiles'/'h_tiles', and any later expression in the same
+    # select referencing those names would capture the alias, not the
+    # plan_grid column (CLAUDE.md rule 10 — today the values coincide,
+    # but an edit to the alias would silently flow into tile_tokens
+    # instead of failing visibly)
+    staged = planned.select(
+        *pages.columns,
+        w_t.cast("int").alias("_w_t"),
+        h_t.cast("int").alias("_h_t"),
+        tile_tokens.alias("_tile_tok"),
+        text_tokens.alias("_text_tok"),
+    )
+    tile_tok = F.col("_tile_tok")
+    text_tok = F.col("_text_tok")
+
     def seg(kind: str, length, is_image: bool):
         return F.struct(
             F.lit(kind).alias("kind"),
@@ -247,8 +270,8 @@ def token_layout(
         F.array(
             seg("bos", F.lit(1 if bos else 0), False),
             seg("global_view", F.lit(GLOBAL_TOKENS), True),
-            seg("tiles", tile_tokens, True),
-            seg("text", text_tokens, False),
+            seg("tiles", tile_tok, True),
+            seg("text", text_tok, False),
             seg("eos", F.lit(1 if eos else 0), False),
         ),
         lambda s: s["len"] > 0,
@@ -275,20 +298,20 @@ def token_layout(
         ),
         lambda acc: acc["out"],
     )
-    image_tokens = (F.lit(GLOBAL_TOKENS).cast("bigint") + tile_tokens).alias(
+    image_tokens = (F.lit(GLOBAL_TOKENS).cast("bigint") + tile_tok).alias(
         "image_tokens"
     )
-    return planned.select(
+    return staged.select(
         *pages.columns,
-        w_t.cast("int").alias("w_tiles"),
-        h_t.cast("int").alias("h_tiles"),
+        F.col("_w_t").alias("w_tiles"),
+        F.col("_h_t").alias("h_tiles"),
         image_tokens,
-        text_tokens.alias("text_tokens"),
+        text_tok.alias("text_tokens"),
         (
             F.lit((1 if bos else 0) + (1 if eos else 0)).cast("bigint")
             + F.lit(GLOBAL_TOKENS)
-            + tile_tokens
-            + text_tokens
+            + tile_tok
+            + text_tok
         ).alias("seq_len"),
         layout.alias("segments"),
     )

@@ -1392,7 +1392,7 @@ WITH wf AS (
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   regexp_replace(
-    regexp_replace(with_formula, '\\quad\s*\([^)]*\)', '', 'g'),
+    regexp_replace(with_formula, '\\quad\s*\([^)\]]*\)', '', 'g'),
     '(?s)\\\[\s*(.*?)\s*\\\]', '\\[\1\\]', 'g') AS cleaned
 FROM wf
 """

@@ -237,6 +237,24 @@ class TestGeometryElements:
         (r,) = rows
         assert (r.x0, r.y0, r.x1, r.y1) == (-1.5, 2.25, 0.0, -3.0)
 
+    def test_python_float_literal_forms(self, spark):
+        """Review r5: the reference eval()s coordinates, which accepts
+        '.5', '1.', '1e3', '+2' — the anchored point regex must parse
+        every float-literal form, not just -?d(.d)?; expression forms
+        ('1+2', 'inf') stay parse-skipped like malformed entries."""
+        rows = self._run(
+            spark,
+            "{'Line': {'line': ['(1e3, .5) -- (1., +2)', '(1+2, 3) -- (4, 5)'], "
+            "'line_type': ['-', '-'], 'line_endpoint': ['A: (-2.5e-1, 7)']}}",
+        )
+        by_kind = {}
+        for r in rows:
+            by_kind.setdefault(r.kind, []).append(r)
+        (line,) = by_kind["line"]  # the '1+2' line is parse-skipped
+        assert (line.x0, line.y0, line.x1, line.y1) == (1000.0, 0.5, 1.0, 2.0)
+        (ep,) = by_kind["endpoint"]
+        assert (ep.x0, ep.y0, ep.label) == (-0.25, 7.0, "A")
+
 
 class TestPadPlan:
     def _one(self, spark, w, h, **kw):
@@ -261,6 +279,18 @@ class TestPadPlan:
         assert r2.pad_left == 0 and r2.pad_right == 1
         # padded-space inversion property: (x - pad_left) / scale
         assert (r2.content_w / r2.scale) == pytest.approx(999, abs=1e-9)
+
+    def test_axis_scales_differ_by_minor_rint(self, spark):
+        # w=1000,h=700: ch = rint(716.8) = 717, so the realized y scale
+        # is 717/700, NOT the x scale 1.024 — inverting y through the x
+        # scale would land ~0.2px off near the content bottom. Each
+        # axis must invert exactly through its own scale.
+        r = self._one(spark, 1000, 700)
+        assert (r.content_w, r.content_h) == (1024, 717)
+        assert r.scale == pytest.approx(1.024, abs=1e-12)
+        assert r.scale_y == pytest.approx(717 / 700, abs=1e-12)
+        assert r.scale_y != r.scale
+        assert (r.content_h / r.scale_y) == pytest.approx(700, abs=1e-9)
 
     def test_half_to_even_rounding(self, spark):
         # 500/1000*1024 = 512 exactly; craft a true .5: w=125, h=1000

@@ -74,6 +74,33 @@ def test_packing_rejects_bad_budget(spark, counted_docs):
         pack_sequences(counted_docs, 0)
 
 
+def test_packing_rejects_negative_count(spark):
+    """Review r5: a negative count makes the running prefix sum
+    non-monotone — floor(prev/budget) could assign later docs to
+    earlier (or negative) packs, silently. Same loud-failure policy as
+    the NULL-count guard."""
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", -5000), ("c", 100)], "doc_id string, n_tokens long"
+    )
+    with pytest.raises(SparkRuntimeException, match="negative"):
+        pack_sequences(df, 1000).collect()
+
+
+def test_packing_rejects_duplicate_doc_id(spark):
+    """Review r5: two rows sharing a doc_id are tie-broken by arrival
+    order in the fill window, so the same input could yield different
+    pack compositions run to run — raise instead of flickering."""
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 200), ("b", 300)], "doc_id string, n_tokens long"
+    )
+    with pytest.raises(SparkRuntimeException, match="duplicate"):
+        pack_sequences(df, 1000).collect()
+
+
 def test_exact_budget_doc_is_not_oversize(spark):
     """A doc of exactly budget tokens fills one pack perfectly — it must
     NOT be flagged oversize (callers drop/truncate oversize packs, which

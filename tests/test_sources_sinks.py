@@ -115,6 +115,12 @@ def test_t3_udf_matches_jvm_and_python(spark):
         # including a \quad whose gap to the paren is a NBSP
         "\\[ \u00a0x + y \u00a0\\]",
         "\\[\u2028z \\quad\u00a0(note)\u2028\\] tail",
+        # review r5: a \quad( whose ) falls OUTSIDE the block must not
+        # let the global expr regex eat the closing \] (the annotation
+        # class excludes ']', so no match can cross the delimiter)
+        r"\[x \quad (note\] tail)",
+        # backslashes inside a proper annotation still removed
+        r"\[a \quad (\alpha) b\]",
     ]
     df = spark.createDataFrame([(c,) for c in cases], "t string")
     got = df.select(
@@ -125,3 +131,16 @@ def test_t3_udf_matches_jvm_and_python(spark):
     for r in got:
         assert r["u"] == clean_formula_py(r["t"])  # UDF ≡ python mirror
         assert r["j"] == r["u"], r["t"]  # JVM chain ≡ UDF on these inputs
+
+
+def test_t3_bracket_annotation_divergence_pinned(spark):
+    """Documented contract difference of the JVM expr (textnorm.py): an
+    annotation containing ']' is dropped by the block-confined reference
+    but left in place by the expr, whose class excludes ']' so that no
+    match can ever cross (and eat) a closing delimiter. Conservative
+    direction only — text is never corrupted."""
+    t = r"\[a \quad (see [3]) b\]"
+    assert clean_formula_py(t) == r"\[a  b\]"  # reference drops it
+    df = spark.createDataFrame([(t,)], "t string")
+    (r,) = df.select(clean_formula_expr(F.col("t")).alias("j")).collect()
+    assert r["j"] == t  # expr leaves it, delimiter intact
