@@ -360,11 +360,19 @@ def _segments(hs: "_pd.Series"):
 
 
 def _fold_segments(arrs, lens, derive, ufunc, init, width):
-    """Per-segment ``ufunc``-reduce of ``derive(flat) -> (T, width)``
+    """Per-segment ``ufunc``-reduce of ``derive(*flats) -> (T, width)``
     rows, chunked on row boundaries so the transient matrix stays under
     _KERNEL_CHUNK hashes. Empty segments yield ``init`` (reduceat's
-    degenerate-slice value is overwritten)."""
-    n = len(arrs)
+    degenerate-slice value is overwritten).
+
+    ``arrs`` is one per-row array list, or a TUPLE of aligned lists
+    (same per-row lengths) for derives over multiple inputs — the fast
+    minhash kernel's (h1, h2) pair. Single-sourcing matters here: the
+    sub-slab oversize path and the nonempty-reduceat-offset rule each
+    fixed a silent-wrong-fold bug (r4 hypothesis fuzz); an inline copy
+    of this machinery would miss the next such fix."""
+    groups = arrs if isinstance(arrs, tuple) else (arrs,)
+    n = len(groups[0])
     out = _np.full((n, width), init, dtype=_np.int64)
     i = 0
     while i < n:
@@ -375,10 +383,12 @@ def _fold_segments(arrs, lens, derive, ufunc, init, width):
             # byte-identically to one reduceat — and the pooled buffers
             # are never outgrown (_buf silently clamps past capacity,
             # which would raise a broadcast error in derive's out=).
-            a = arrs[i]
             acc = _np.full(width, init, dtype=_np.int64)
             for s in range(0, int(lens[i]), _KERNEL_CHUNK):
-                part = ufunc.reduce(derive(a[s : s + _KERNEL_CHUNK]), axis=0)
+                part = ufunc.reduce(
+                    derive(*(g[i][s : s + _KERNEL_CHUNK] for g in groups)),
+                    axis=0,
+                )
                 ufunc(acc, part, out=acc)
             out[i] = acc
             i += 1
@@ -388,8 +398,7 @@ def _fold_segments(arrs, lens, derive, ufunc, init, width):
             tot += int(lens[j])
             j += 1
         if tot:
-            flat = _np.concatenate(arrs[i:j])
-            mat = derive(flat)
+            mat = derive(*(_np.concatenate(g[i:j]) for g in groups))
             offs = _np.zeros(j - i, dtype=_np.int64)
             _np.cumsum(lens[i:j][:-1], out=offs[1:])
             # reduceat over NON-EMPTY segments only: an empty segment's
@@ -499,39 +508,9 @@ def _minhash_sig_fast_udf():
     def kernel(h1s: _pd.Series, h2s: _pd.Series) -> _pd.Series:
         arrs1, lens, valid = _segments(h1s)
         arrs2, _, _ = _segments(h2s)
-        n = len(arrs1)
-        out = _np.full((n, MINHASH_K), _LONG_MAX, dtype=_np.int64)
-        i = 0
-        while i < n:
-            if lens[i] > _KERNEL_CHUNK:
-                # oversize doc: sub-slab fold, exact for min (see
-                # _fold_segments)
-                a1, a2 = arrs1[i], arrs2[i]
-                acc = _np.full(MINHASH_K, _LONG_MAX, dtype=_np.int64)
-                for s in range(0, int(lens[i]), _KERNEL_CHUNK):
-                    part = _np.minimum.reduce(
-                        derive2(a1[s : s + _KERNEL_CHUNK], a2[s : s + _KERNEL_CHUNK]),
-                        axis=0,
-                    )
-                    _np.minimum(acc, part, out=acc)
-                out[i] = acc
-                i += 1
-                continue
-            j, tot = i, 0
-            while j < n and tot + lens[j] <= _KERNEL_CHUNK:
-                tot += int(lens[j])
-                j += 1
-            if tot:
-                mat = derive2(
-                    _np.concatenate(arrs1[i:j]), _np.concatenate(arrs2[i:j])
-                )
-                offs = _np.zeros(j - i, dtype=_np.int64)
-                _np.cumsum(lens[i:j][:-1], out=offs[1:])
-                # non-empty offsets only — see _fold_segments (trailing
-                # empty segment must not steal the previous doc's row)
-                nz = lens[i:j] > 0
-                out[i:j][nz] = _np.minimum.reduceat(mat, offs[nz], axis=0)
-            i = j
+        out = _fold_segments(
+            (arrs1, arrs2), lens, derive2, _np.minimum, _LONG_MAX, MINHASH_K
+        )
         return _pd.Series(
             [row if ok else None for row, ok in zip(list(out), valid)]
         )
@@ -988,18 +967,30 @@ def simhash_pairs(
     chunks = sig.select(
         "doc_id", F.posexplode("packed").alias("chunk", "chunk_sig")
     )
-    # same both-sides-broadcast-filtered verify shape as _jaccard_verify
-    # (review r4): the (rare) pair list feeds two broadcasts, so it is
-    # persisted; the full fixed-width sig table never shuffles.
+    # ONE broadcast, of the distinct candidate ids — the same verify
+    # discipline _jaccard_verify adopted in r5 (its r4 two-broadcast
+    # form, which this function previously mirrored, built driver-side
+    # hash relations over FULL pair rows: measured ~5-6 s of
+    # level-independent cost at 178k pairs, and an OOM hazard on
+    # pathological bucket floods where pairs scale as
+    # n_buckets·CAP²/2). The fixed-width sig table is broadcast-
+    # filtered down to candidate docs; the pair joins then shuffle only
+    # candidate-doc sig rows — parallel work, with AQE free to
+    # broadcast the small side at runtime. The pair list is persisted
+    # (bounded: id pairs only) — it feeds the ids broadcast AND the
+    # final joins; hits feeds both join sides.
     pairs = persist_swap("simhash_cand", _bucket_pairs(chunks, ["chunk", "chunk_sig"]))
-    b_keys = pairs.select(F.col("doc_b").alias("_idb")).distinct()
-    sig_b = sig.join(F.broadcast(b_keys), sig.doc_id == F.col("_idb")).select(
-        F.col("doc_id").alias("_docb"), F.col("packed").alias("packed_b")
+    ids = pairs.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
+    ).distinct()
+    hits = persist_swap(
+        "simhash_verify_hits", sig.join(F.broadcast(ids), "doc_id")
     )
+    a = hits.select(F.col("doc_id").alias("_ida"), F.col("packed").alias("packed_a"))
+    b = hits.select(F.col("doc_id").alias("_idb"), F.col("packed").alias("packed_b"))
     joined = (
-        sig.join(F.broadcast(pairs), sig.doc_id == pairs.doc_a)
-        .select("doc_a", "doc_b", F.col("packed").alias("packed_a"))
-        .join(sig_b, F.col("doc_b") == F.col("_docb"))
+        pairs.join(a, F.col("doc_a") == F.col("_ida"))
+        .join(b, F.col("doc_b") == F.col("_idb"))
         .select("doc_a", "doc_b", "packed_a", "packed_b")
     )
     hamming = F.aggregate(

@@ -232,7 +232,11 @@ def apply_domain_rates(
             .withColumn(
                 "_n_copies", F.col("_base") + (key < F.col("_thr")).cast("int")
             )
-            .drop("_base", "_thr")
+            # restore the input column ORDER: the using-join hoists the
+            # join key to the front, so crossing WHEN_CHAIN_MAX would
+            # silently reorder the schema for positional consumers
+            # (union-by-position, tuple unpacking) vs the when-chain
+            .select(*docs.columns, "_n_copies")
         )
     return _explode_epochs(gated)
 

@@ -109,27 +109,41 @@ def _coverage_kernel(ns: tuple):
     def kernel(th: _pd.Series, tl: _pd.Series) -> _pd.Series:
         b = _np.uint64(_B)
         binv = _np.uint64(_BINV)
+        # normalize rows first so the prefix-power arrays are built ONCE
+        # per Arrow batch, sized to the batch max (the _rolling_kernel
+        # discipline) — the previous form ran two cumprods and allocated
+        # two fresh power buffers per ROW, pure allocator churn of the
+        # rule-19b class on a 400k-doc curation pass. Same values: the
+        # per-row slices pow_*[:ln] read identical powers, bit-exact.
+        rows = []
+        max_len = 0
+        for hs, ls in zip(th, tl):
+            if hs is None:
+                rows.append(None)
+                continue
+            a = _np.asarray(hs)
+            if a.dtype != _np.int64:
+                if _np.isnan(a).any():
+                    raise ValueError("NULL token hash in coverage kernel")
+                a = a.astype(_np.int64)
+            rows.append((a, _np.asarray(ls, dtype=_np.int64)))
+            max_len = max(max_len, len(a))
         out = []
         with _np.errstate(over="ignore"):
-            for hs, ls in zip(th, tl):
-                if hs is None:
+            pow_b = _np.cumprod(_np.full(max_len + 1, b, dtype=_np.uint64))
+            pow_binv = _np.cumprod(
+                _np.full(max_len + 1, binv, dtype=_np.uint64)
+            )
+            # cumprod starts at B^1; shift to B^0..B^max_len
+            pow_b = _np.concatenate(([_np.uint64(1)], pow_b[:-1]))
+            pow_binv = _np.concatenate(([_np.uint64(1)], pow_binv[:-1]))
+            for row in rows:
+                if row is None:
                     out.append([0.0] * (2 * len(ns)))
                     continue
-                a = _np.asarray(hs)
-                if a.dtype != _np.int64:
-                    if _np.isnan(a).any():
-                        raise ValueError("NULL token hash in coverage kernel")
-                    a = a.astype(_np.int64)
+                a, lens = row
                 ln = len(a)
-                lens = _np.asarray(ls, dtype=_np.int64)
                 u = a.view(_np.uint64)
-                pow_binv = _np.empty(ln + 1, dtype=_np.uint64)
-                pow_b = _np.empty(ln + 1, dtype=_np.uint64)
-                pow_binv[0] = 1
-                pow_b[0] = 1
-                if ln:
-                    _np.cumprod(_np.full(ln, binv, dtype=_np.uint64), out=pow_binv[1:])
-                    _np.cumprod(_np.full(ln, b, dtype=_np.uint64), out=pow_b[1:])
                 s = _np.zeros(ln + 1, dtype=_np.uint64)
                 _np.cumsum(u * pow_binv[:ln], out=s[1:])
                 pl = _np.zeros(ln + 1, dtype=_np.int64)

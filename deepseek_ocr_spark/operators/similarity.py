@@ -91,7 +91,17 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL (not a crash) for zero-norm vectors.
+
+    ANSI mode is ON (CLAUDE.md rule 4): without the nullif, ONE all-zero
+    embedding (a missing/dirty vector) anywhere in the corpus kills the
+    entire job with DIVIDE_BY_ZERO at task level. NULL is the right
+    degenerate value everywhere sim flows: `sim >= threshold` filters
+    are false (a zero vector duplicates nothing — it cannot collapse a
+    semantic-dedup cell), and F.desc ordering puts NULL last, so top-k
+    ranks real neighbors first. The oracle corpora contain no zero
+    vectors, so the DuckDB mirrors need no change."""
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
 MAX_EXACT_ROWS = 100_000

@@ -198,11 +198,12 @@ def suppress_duplicate_substrings(
     rebuilt from the tokens OUTSIDE every flagged interval (token order
     preserved, single-space joined — the engine's token ops are
     whitespace-normalized throughout). Docs with nothing flagged pass
-    through byte-identical ONLY up to whitespace: reconstruction is from
-    the token array, so runs of whitespace collapse; callers needing
-    byte fidelity on clean docs should anti-join the span table instead.
-    The per-doc interval list is the MERGED span set (small by
-    construction relative to the doc), applied array-locally in JVM."""
+    through fully BYTE-IDENTICAL: the NULL-cuts branch below returns
+    the original column untouched — only docs with actual cuts are
+    rebuilt (and those collapse whitespace runs, since reconstruction
+    is from the token array). The per-doc interval list is the MERGED
+    span set (small by construction relative to the doc), applied
+    array-locally in JVM."""
     spans = substring_dup_spans(docs, n, text_col, id_col, keep_first)
     cuts = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("start_ord", "end_ord")).alias("_cuts")

@@ -804,3 +804,29 @@ def test_semantic_dedup_fitted_quantizer_smoke(spark):
     assert len(kept) == 40
     for r in dropped:
         assert r["cluster_id"] == r["vec_id"] - 1000
+
+
+def test_zero_vector_yields_null_sim_not_crash(spark):
+    """Review r5: ANSI mode is ON, so an unguarded cosine denominator
+    turns ONE all-zero embedding (missing/dirty vector) into a
+    DIVIDE_BY_ZERO that kills the whole job. cosine() must yield NULL
+    instead: zero vectors match no threshold, rank last in top-k, and
+    never collapse a semantic-dedup cell."""
+    df = spark.createDataFrame(
+        [("1", [0.0, 0.0]), ("2", [1.0, 0.0]), ("3", [0.6, 0.8])],
+        "vec_id string, embedding array<double>",
+    )
+    rows = cosine_topk(df, df, k=2, allow_full_scan=True).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # real pair scores unaffected
+    (r23,) = [r for r in by_q["2"] if r["neighbor_id"] == "3"]
+    assert r23["sim"] == 0.6
+    # every sim involving the zero vector is NULL, and NULLs rank last
+    for r in rows:
+        if "1" in (r["query_id"], r["neighbor_id"]):
+            assert r["sim"] is None
+    for q in ("2", "3"):
+        top = min(by_q[q], key=lambda r: r["rank"])
+        assert top["sim"] is not None

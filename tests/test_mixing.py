@@ -266,6 +266,11 @@ def test_large_rate_map_join_path_matches_when_chain(spark, sf_dir):
     a = sorted(map(tuple, big.select("doc_id", "epoch").collect()))
     b = sorted(map(tuple, chain.select("doc_id", "epoch").collect()))
     assert a == b and len(a) > 0
+    # identical means COLUMN ORDER too (review r5): the using-join
+    # hoists the key to the front -- a rate map growing past
+    # WHEN_CHAIN_MAX must not silently reorder the schema under a
+    # positional consumer (union-by-position, tuple unpacking)
+    assert big.columns == chain.columns
 
 
 def test_domain_guard_raises():
