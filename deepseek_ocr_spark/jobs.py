@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from .operators.extraction import extract_pdf
 from .operators.spans_pipeline import extract_spans
 from .plans.coalesce import doc_cost, repartition_by_cost
-from .plans.lineage import run_extract_resumable
+from .plans.lineage import fresh_read_error, run_extract_resumable
 from .sources.sinks import write_markdown_table
 
 
@@ -103,6 +103,19 @@ def _write_meta(
     fs = hpath(tmp).getFileSystem(spark._jsc.hadoopConfiguration())
     dst = hpath(meta_path)
     fs.delete(dst, True)
+    # Hadoop rename into an EXISTING directory moves the source UNDER
+    # it (meta/meta__staging) and still returns true — if the delete
+    # did not actually clear the destination (permissions, or a
+    # concurrent writer recreated it), the boolean guard below would
+    # pass over silently corrupted layout. Verify emptiness explicitly;
+    # the job contract is single-writer per store, so a survivor here
+    # is always an error worth surfacing.
+    if fs.exists(dst):
+        raise IOError(
+            f"meta destination {meta_path} still exists after delete — "
+            "concurrent writer or permission failure; refusing to rename "
+            "the staged meta under it"
+        )
     if not fs.rename(hpath(tmp), dst):
         raise IOError(f"failed to rename staged meta {tmp} -> {meta_path}")
 
@@ -139,9 +152,12 @@ def run_dedup_job(
         try:
             return spark.read.parquet(path)
         except AnalysisException as e:
-            # ONLY a missing path means "first run"; a corrupt/unreadable
-            # store must fail loudly, not be silently rebuilt from empty
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            # fresh_read_error: missing path OR an existing-but-empty
+            # dir (crash before the first append committed) both mean
+            # "first run" — matching-only-PATH_NOT_FOUND bricked the
+            # store after such a crash (every rerun re-raised on the
+            # empty dir). Corruption still fails loudly.
+            if fresh_read_error(e):
                 return None
             raise
 
@@ -293,7 +309,9 @@ def run_cluster_job(spark: SparkSession, store_dir: str) -> dict:
     try:
         dups = spark.read.parquet(dups_path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        # shared fresh-vs-corrupt line with the dedup store reads: a
+        # missing OR never-committed dup log means nothing to cluster
+        if fresh_read_error(e):
             return {
                 "edges": 0,
                 "docs_clustered": 0,

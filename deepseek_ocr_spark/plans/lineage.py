@@ -46,6 +46,27 @@ def assign_slices(docs: DataFrame, n_slices: int = N_SLICES) -> DataFrame:
     )
 
 
+def fresh_read_error(e: AnalysisException) -> bool:
+    """Classify a store/resume-log read failure: True means "nothing
+    committed yet" — the dir is missing, or it exists but holds no
+    committed parquet (crash between mkdir and the first commit: only
+    _temporary/ inside, so there is no schema to infer). Anything else
+    (corrupt footer, a table missing an expected column, IO error)
+    means corruption and must PROPAGATE — treating it as "fresh" would
+    silently rebuild/rescan over a damaged store. Single-sourced here
+    because three callers (committed_slices, run_dedup_job's store
+    reads, run_cluster_job) need the SAME fresh-vs-corrupt line; when
+    they drifted, a crash before the first signature commit bricked
+    the dedup store (every rerun re-raised UNABLE_TO_INFER_SCHEMA)
+    while the lineage log correctly read the same state as fresh."""
+    msg = str(e)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+        or "UNABLE_TO_INFER_SCHEMA" in msg
+    )
+
+
 def committed_slices(spark: SparkSession, out_dir: str) -> set[int]:
     path = f"{out_dir}/lineage"
     try:
@@ -57,19 +78,10 @@ def committed_slices(spark: SparkSession, out_dir: str) -> set[int]:
         # Existence goes through spark.read, never os.path — the run dir
         # is a Hadoop-FS path (HDFS/S3 at scale); a driver-local exists()
         # check is always False there, which would silently disable
-        # resume and rescan the whole input every run. Only two error
-        # classes mean "fresh run": the dir is missing, or it exists but
-        # holds no committed parquet yet (crash between mkdir and the
-        # first commit → no schema to infer). Anything else — corrupt
-        # footer, a lineage table missing slice_id, IO error — must
-        # PROPAGATE: treating read failure as "no commits" would mask
-        # real store corruption behind a full rescan.
-        msg = str(e)
-        if (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-        ):
+        # resume and rescan the whole input every run. Fresh-vs-corrupt
+        # line: fresh_read_error (a lineage table missing slice_id
+        # surfaces as a different error class and propagates).
+        if fresh_read_error(e):
             return set()
         raise
 

@@ -2965,9 +2965,13 @@ def sd1_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SD1 = """
-SELECT md5(text) AS digest, MIN(CAST(doc_id AS VARCHAR)) AS doc_id,
+-- coalesce mirrors streaming_exact_dedup_flat: a NULL-text row digests
+-- as empty content on BOTH engines (md5(NULL) is NULL in DuckDB and
+-- would split into its own NULL-digest group otherwise)
+SELECT md5(coalesce(text, '')) AS digest,
+  MIN(CAST(doc_id AS VARCHAR)) AS doc_id,
   CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates_suppressed
-FROM documents GROUP BY md5(text)
+FROM documents GROUP BY md5(coalesce(text, ''))
 """
 
 

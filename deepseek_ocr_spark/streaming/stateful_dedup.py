@@ -104,9 +104,23 @@ def streaming_exact_dedup_flat(
     digested = doc_stream.select(
         # coalesce: a NULL text row must hash as empty content, not
         # produce a NULL digest that violates OUT_SCHEMA's non-nullable
-        # field mid-batch
+        # field mid-batch (mirrored in the sd1 DuckDB oracle —
+        # queries.SQL_SD1 hashes md5(coalesce(text, '')) too)
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest"),
-        F.col("doc_id").cast("string").alias("doc_id"),
+        # cast: a bigint doc_id stream would hand int64 to the pandas
+        # state fn, whose canonical_doc/doc_id StringType Arrow
+        # conversion rejects it mid-query. A NULL id RAISES (the
+        # mixing.py convention): pandas min() over an all-NULL group
+        # yields NaN, which would abort the query against OUT_SCHEMA's
+        # non-nullable field anyway — fail with a message instead.
+        F.when(
+            F.col("doc_id").isNull(),
+            F.raise_error(
+                F.lit("streaming_exact_dedup: NULL doc_id in stream")
+            ).cast("string"),
+        )
+        .otherwise(F.col("doc_id").cast("string"))
+        .alias("doc_id"),
     )
     return digested.groupBy("digest").applyInPandasWithState(
         _dedup_group,
@@ -121,29 +135,17 @@ def streaming_exact_dedup(doc_stream: DataFrame, text_col: str = "spans") -> Dat
     """documents stream → one row per first-seen content digest.
 
     Digest = md5 of the concatenated span texts (content identity, not
-    doc identity)."""
-    digested = doc_stream.select(
-        # outer coalesce: a NULL spans array must digest as empty
-        # content (matching the flat variant), not emit a NULL digest
-        # into OUT_SCHEMA's non-nullable field
-        F.md5(
-            F.coalesce(
-                F.array_join(
-                    F.transform(text_col, lambda s: F.coalesce(s["text"], F.lit(""))),
-                    "\x1f",
-                ),
-                F.lit(""),
-            )
-        ).alias("digest"),
-        # cast like the flat variant: a bigint doc_id stream would hand
-        # int64 to the pandas state fn, whose canonical_doc/doc_id
-        # StringType Arrow conversion rejects it mid-query
-        F.col("doc_id").cast("string").alias("doc_id"),
+    doc identity). One select derives the joined text, then the flat
+    variant owns the digest/id conventions and the state machine — the
+    shared-tail pattern (CLAUDE.md r5 _explode_epochs) so the two
+    variants cannot drift (the span variant briefly lacked the id cast
+    the flat one had). A NULL spans array joins to NULL, which the flat
+    variant's coalesce digests as empty content, same as before."""
+    joined = doc_stream.select(
+        F.array_join(
+            F.transform(text_col, lambda s: F.coalesce(s["text"], F.lit(""))),
+            "\x1f",
+        ).alias("_joined"),
+        "doc_id",
     )
-    return digested.groupBy("digest").applyInPandasWithState(
-        _dedup_group,
-        outputStructType=OUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return streaming_exact_dedup_flat(joined, text_col="_joined")

@@ -326,3 +326,23 @@ def test_training_prep_job_end_to_end(spark):
         assert a == b
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_dedup_job_survives_empty_store_dirs(spark):
+    """Review r5: a crash before the FIRST signature/dup append commits
+    leaves existing-but-empty store dirs. That state must read as
+    'first run' (same fresh-vs-corrupt line as plans/lineage.py), not
+    brick the store with UNABLE_TO_INFER_SCHEMA on every rerun."""
+    import os
+
+    base = tempfile.mkdtemp(prefix="dedup_job_empty_")
+    in1, store = f"{base}/in1", f"{base}/store"
+    try:
+        rows = [(i, f"fresh text number {i} alpha beta gamma") for i in range(6)]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(in1)
+        os.makedirs(f"{store}/signatures")
+        os.makedirs(f"{store}/dups")
+        s = jobs.run_dedup_job(spark, in1, store)
+        assert s["accepted"] == 6 and s["store_total"] == 6
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -4,10 +4,15 @@ micro-batches must be suppressed by state, not batch-local grouping."""
 import shutil
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from deepseek_ocr_spark import corpus
-from deepseek_ocr_spark.streaming.stateful_dedup import streaming_exact_dedup
+from deepseek_ocr_spark.streaming.stateful_dedup import (
+    streaming_exact_dedup,
+    streaming_exact_dedup_flat,
+)
 
 
 def test_cross_batch_dedup(spark):
@@ -99,6 +104,35 @@ def test_typed_ids_and_null_content(spark):
             ("3", 1),  # doc 4's [] collapses onto doc 3's NULL digest
         }
         assert all(r["digest"] is not None for r in out.values())
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_null_doc_id_raises(spark):
+    """Review r5: a NULL id would reach the pandas state fn and abort
+    the query opaquely (min() over all-NULL -> NaN vs the non-nullable
+    output schema); the mixing.py convention is to RAISE with a
+    message instead."""
+    in_dir = tempfile.mkdtemp(prefix="sd_nullid_")
+    ckpt = tempfile.mkdtemp(prefix="sd_nullid_ck_")
+    try:
+        rows = spark.createDataFrame(
+            [("1", "alpha"), (None, "beta")], "doc_id string, text string"
+        )
+        rows.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        stream = spark.readStream.schema(rows.schema).parquet(in_dir)
+        q = (
+            streaming_exact_dedup_flat(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_nullid")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="NULL doc_id"):
+            q.awaitTermination()
     finally:
         shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
