@@ -77,7 +77,7 @@ def _run(df) -> None:
 
 # bump when bench-internal corpus derivations (flatdocs, f1deg, lang
 # tagging) change shape; corpus.py edits are caught automatically below
-_GEN_VER = 1
+_GEN_VER = 2  # v2: flatdocs_lang gained the fixed _LAYOUT_FILES layout
 
 
 def _gen_token() -> str:
@@ -422,18 +422,27 @@ def main() -> None:
         ivf_probe,
     )
 
-    # cache key includes the centroid parameters AND the source-corpus
-    # identity (path + mtime + size of the embeddings parquet): a tuned
-    # _S3_CELLS/_S3_BASE — or a regenerated/retargeted SF_DIR — must
-    # rebuild the index, or the probe would join NEW-centroid query
-    # cells against OLD-centroid partitions (silent wrong candidates)
+    # cache key includes the centroid parameters, the source-corpus
+    # identity (path + mtime + size of the embeddings parquet), AND the
+    # index-building code's identity (similarity.py source hash): a
+    # tuned _S3_CELLS/_S3_BASE, a regenerated/retargeted SF_DIR, or an
+    # edit to ivf_index's cell assignment must each rebuild the index,
+    # or the probe would join NEW-centroid/new-code query cells against
+    # OLD partitions (silent wrong candidates). _GEN_VER only covers
+    # bench-internal derivations, not operator edits (review r5).
     import hashlib as _hashlib
 
     _emb_src = os.path.join(SF_DIR, "embeddings.parquet")
     _emb_stat = os.stat(_emb_src)
+    _sim_src = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "deepseek_ocr_spark", "operators", "similarity.py",
+    )
+    with open(_sim_src, "rb") as _f:
+        _sim_h = _hashlib.md5(_f.read()).hexdigest()[:8]
     _emb_tok = _hashlib.md5(
         f"{os.path.abspath(_emb_src)}:{_emb_stat.st_mtime_ns}:"
-        f"{_emb_stat.st_size}".encode()
+        f"{_emb_stat.st_size}:{_sim_h}".encode()
     ).hexdigest()[:8]
     idx_p = _corpus_path(
         f"ivf_index_c{_S3_CELLS}_b{_S3_BASE}_{_emb_tok}", int(SF * 1000)
@@ -639,7 +648,11 @@ def main() -> None:
                 F.array(*[F.lit(x) for x in langs]),
                 (F.pmod(F.xxhash64(F.col("doc_id")), 10) + 1).cast("int"),
             ),
-        ).write.mode("overwrite").parquet(tp_in)
+            # fixed layout like every other cached corpus: without the
+            # repartition, the writer session's core count sets the file
+            # count and a later session scans ragged bins (review r5 —
+            # the one cached corpus that skipped the invariant)
+        ).repartition(_LAYOUT_FILES).write.mode("overwrite").parquet(tp_in)
     tp_out = tempfile.mkdtemp(prefix="bench_trainprep_")
     try:
         _opcache.release()
